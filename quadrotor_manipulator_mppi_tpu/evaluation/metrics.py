@@ -1,0 +1,93 @@
+"""Flight-quality metrics — rotors_evaluation parity, over in-framework logs.
+
+The reference's only automated harness analyzes recorded rosbags:
+``/root/reference/src/rotors_simulator/rotors_evaluation/src/hovering_eval.py:22-60``
+(windowed RMS position error with pass thresholds 0.2 m / 0.2 rad/s, settling
+time into a radius), ``waypoints_eval.py`` (per-waypoint response), and
+``disturbance_eval.py`` (recovery).  Here the same metrics are pure functions
+over trajectory arrays produced by ``sim/closed_loop`` scans — no bags, no
+message parsing, directly jittable and batchable over scenario axes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# hovering_eval.py:26-27 pass thresholds.
+HOVER_POS_RMS_THRESHOLD = 0.2       # [m]
+HOVER_ANG_RATE_THRESHOLD = 0.2      # [rad/s]
+
+
+class HoverMetrics(NamedTuple):
+    pos_rms: Array        # windowed RMS position error [m]
+    ang_rate_rms: Array   # windowed RMS angular rate [rad/s]
+    settling_time: Array  # first time the error stays inside the radius [s]
+    passed: Array         # bool vs the reference thresholds
+
+
+def rms(x: Array, axis=None) -> Array:
+    return jnp.sqrt(jnp.mean(x * x, axis=axis))
+
+
+def position_rms_error(pos: Array, target: Array, axis=(-1, -2)) -> Array:
+    """RMS of |p_t - p*| over the trajectory (pos: [..., T, 3])."""
+    return jnp.sqrt(jnp.mean(jnp.sum((pos - target) ** 2, axis=-1), axis=-1))
+
+
+def settling_time(
+    pos: Array, target: Array, dt: float, radius: float = 0.1
+) -> Array:
+    """Earliest time after which the position error never leaves ``radius``
+    (hovering_eval's settling notion).  Returns T*dt if never settled."""
+    err = jnp.linalg.norm(pos - target, axis=-1)  # [..., T]
+    outside = err > radius
+    # Last index that is outside; settled from the next step on.
+    t_idx = jnp.arange(err.shape[-1])
+    last_outside = jnp.max(jnp.where(outside, t_idx, -1), axis=-1)
+    return (last_outside + 1).astype(pos.dtype) * dt
+
+
+def hover_metrics(
+    pos: Array,
+    ang_rate: Array,
+    target: Array,
+    dt: float,
+    window_start_frac: float = 0.5,
+) -> HoverMetrics:
+    """Evaluate a hover log (pos/ang_rate: [T, 3]) over the trailing window
+    (the reference evaluates a window after takeoff settles)."""
+    t0 = int(pos.shape[-2] * window_start_frac)
+    pos_w = pos[..., t0:, :]
+    rate_w = ang_rate[..., t0:, :]
+    pos_rms = position_rms_error(pos_w, target)
+    rate_rms = rms(jnp.linalg.norm(rate_w, axis=-1), axis=-1)
+    st = settling_time(pos, target, dt)
+    passed = (pos_rms <= HOVER_POS_RMS_THRESHOLD) & (
+        rate_rms <= HOVER_ANG_RATE_THRESHOLD
+    )
+    return HoverMetrics(
+        pos_rms=pos_rms, ang_rate_rms=rate_rms, settling_time=st, passed=passed
+    )
+
+
+def waypoint_response(
+    pos: Array, waypoint: Array, dt: float, radius: float = 0.1
+) -> Array:
+    """Time to first enter the waypoint radius (waypoints_eval parity);
+    returns T*dt if never reached."""
+    err = jnp.linalg.norm(pos - waypoint, axis=-1)
+    inside = err <= radius
+    t_idx = jnp.arange(err.shape[-1])
+    big = err.shape[-1]
+    first = jnp.min(jnp.where(inside, t_idx, big), axis=-1)
+    return first.astype(pos.dtype) * dt
+
+
+def tracking_rmse(actual: Array, reference: Array, axis=-2) -> Array:
+    """Generic trajectory-tracking RMSE (the BASELINE.md parity metric)."""
+    return jnp.sqrt(jnp.mean(jnp.sum((actual - reference) ** 2, axis=-1), axis=-1))

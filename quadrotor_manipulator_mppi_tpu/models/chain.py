@@ -1,0 +1,215 @@
+"""Static kinematic-chain specification and batched forward kinematics.
+
+TPU-native replacement for the reference's URDF FK stack
+(``/root/reference/src/mav_mppi/scripts/robot/urdfparser.py:110-163`` walking
+fixed/revolute/prismatic joints root->tip and composing batched 4x4 matmuls,
+wrapped by ``robot/urdf_fk.py:79-108`` which prepends the floating-base pose).
+
+Design differences (intentional, TPU-first):
+
+* The chain is **compiled once on host** into a :class:`ChainSpec` of dense
+  NumPy float64 arrays — fixed origins pre-composed into the next actuated
+  joint, so FK is exactly ``n_joints`` compose steps plus one tip transform.
+  The reference re-reads joint origins from parsed URDF objects and rebuilds
+  torch tensors on every FK call (``urdfparser.py:136-138``).
+* The spec is a **host constant closed over by jitted functions**, never a
+  traced argument: joint origins/axes bake into the XLA program as literals
+  and get constant-folded.  Precompute happens in float64; the traced program
+  runs in the caller's dtype (float32 by default).
+* Transforms are (R, p) pairs, not 4x4 matrices (see ``utils/se3.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import se3
+
+Array = jax.Array
+
+REVOLUTE = 0
+PRISMATIC = 1
+
+
+def rpy_to_matrix_np(rpy) -> np.ndarray:
+    """URDF roll/pitch/yaw -> rotation matrix, host-side float64."""
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+@dataclass(frozen=True)
+class ChainSpec:
+    """Dense host-side description of a serial kinematic chain.
+
+    All arrays are float64 NumPy over the actuated joints (length J).  ``tip``
+    is the fixed transform from the last joint's child frame to the tip frame.
+    """
+
+    origin_rot: np.ndarray     # (J, 3, 3) fixed rotation preceding each joint
+    origin_trans: np.ndarray   # (J, 3)
+    axis: np.ndarray           # (J, 3) joint axis in the local frame
+    joint_type: np.ndarray     # (J,) int, REVOLUTE or PRISMATIC
+    lower: np.ndarray          # (J,) position limits
+    upper: np.ndarray          # (J,)
+    velocity: np.ndarray       # (J,) velocity limits
+    effort: np.ndarray         # (J,) effort limits
+    tip_rot: np.ndarray        # (3, 3)
+    tip_trans: np.ndarray      # (3,)
+    joint_names: tuple = field(default=())
+
+    @property
+    def n_joints(self) -> int:
+        return self.axis.shape[0]
+
+
+def build_chain(
+    origins_xyz: Sequence[Sequence[float]],
+    origins_rpy: Sequence[Sequence[float]],
+    axes: Sequence[Sequence[float]],
+    joint_types: Sequence[int],
+    lower: Sequence[float],
+    upper: Sequence[float],
+    velocity: Optional[Sequence[float]] = None,
+    effort: Optional[Sequence[float]] = None,
+    pre_xyz: Sequence[float] = (0.0, 0.0, 0.0),
+    pre_rpy: Sequence[float] = (0.0, 0.0, 0.0),
+    tip_xyz: Sequence[float] = (0.0, 0.0, 0.0),
+    tip_rpy: Sequence[float] = (0.0, 0.0, 0.0),
+    joint_names: Sequence[str] = (),
+) -> ChainSpec:
+    """Host-side chain compiler.
+
+    ``pre_*`` is a fixed transform before the first joint (e.g. the
+    world->arm-base mount, rpy=(pi,0,0) in the reference's
+    ``aerial_manipulator_gpu.urdf:67-73``); it is folded into joint 0's
+    origin.  Fixed joints *between* actuated joints should be pre-composed by
+    the URDF loader before calling this (see ``models/urdf.py``).
+    """
+    j = len(axes)
+    rots = [rpy_to_matrix_np(origins_rpy[k]) for k in range(j)]
+    trans = [np.asarray(origins_xyz[k], np.float64) for k in range(j)]
+    pr, pt = rpy_to_matrix_np(pre_rpy), np.asarray(pre_xyz, np.float64)
+    rots[0], trans[0] = pr @ rots[0], pt + pr @ trans[0]
+
+    axes_np = np.asarray(axes, np.float64)
+    norms = np.linalg.norm(axes_np, axis=-1, keepdims=True)
+    axes_np = axes_np / np.where(norms > 0, norms, 1.0)
+
+    big = float(np.finfo(np.float32).max)
+    vel = np.asarray(velocity, np.float64) if velocity is not None else np.full((j,), big)
+    eff = np.asarray(effort, np.float64) if effort is not None else np.full((j,), big)
+
+    return ChainSpec(
+        origin_rot=np.stack(rots),
+        origin_trans=np.stack(trans),
+        axis=axes_np,
+        joint_type=np.asarray(joint_types, np.int64),
+        lower=np.asarray(lower, np.float64),
+        upper=np.asarray(upper, np.float64),
+        velocity=vel,
+        effort=eff,
+        tip_rot=rpy_to_matrix_np(tip_rpy),
+        tip_trans=np.asarray(tip_xyz, np.float64),
+        joint_names=tuple(joint_names),
+    )
+
+
+def _axis_rotation(axis: np.ndarray, q: Array) -> Array:
+    """Rotation about a fixed unit ``axis`` (host constant) by traced angle
+    ``q`` of any batch shape -> [..., 3, 3].  Rodrigues with the axis outer
+    products precomputed on host, so the traced math is 2 transcendentals and
+    a fused multiply-add per matrix element.
+    """
+    dtype = q.dtype
+    k = np.asarray(axis, np.float64)
+    kkt = np.outer(k, k)
+    kx = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], np.float64
+    )
+    eye = np.eye(3)
+    c = jnp.cos(q)[..., None, None]
+    s = jnp.sin(q)[..., None, None]
+    return (
+        c * jnp.asarray(eye - kkt, dtype)
+        + s * jnp.asarray(kx, dtype)
+        + jnp.asarray(kkt, dtype)
+    )
+
+
+def joint_transform(spec: ChainSpec, j: int, q_j: Array) -> se3.Transform:
+    """Transform across joint ``j`` (fixed origin then joint motion), batched
+    over ``q_j``.  ``j`` is a Python int — the joint loop unrolls at trace
+    time (J is small), so the revolute/prismatic choice costs nothing.
+
+    Semantics match the reference's ``revolute_transform`` /
+    ``prismatic_transform`` (``robot/transformation_matrix.py:38,58``).
+    """
+    dtype = q_j.dtype
+    orot = jnp.asarray(spec.origin_rot[j], dtype)
+    otrans = jnp.asarray(spec.origin_trans[j], dtype)
+    if int(spec.joint_type[j]) == REVOLUTE:
+        rot = jnp.einsum("ij,...jk->...ik", orot, _axis_rotation(spec.axis[j], q_j))
+        trans = jnp.broadcast_to(otrans, q_j.shape + (3,))
+        return se3.Transform(rot=rot, trans=trans)
+    disp = jnp.asarray(spec.origin_rot[j] @ spec.axis[j], dtype) * q_j[..., None]
+    return se3.Transform(
+        rot=jnp.broadcast_to(orot, q_j.shape + (3, 3)),
+        trans=otrans + disp,
+    )
+
+
+def forward_kinematics(
+    spec: ChainSpec,
+    q: Array,
+    base: Optional[se3.Transform] = None,
+) -> se3.Transform:
+    """Tip pose for joint positions ``q`` of shape [..., J].
+
+    ``base`` (optional) is the world pose of the chain root — the reference
+    prepends the drone's base pose the same way (``robot/urdf_fk.py:99-104``).
+    Returns a :class:`se3.Transform` with batch shape ``q.shape[:-1]``.
+    """
+    t = joint_transform(spec, 0, q[..., 0])
+    if base is not None:
+        t = base.compose(t)
+    for j in range(1, spec.n_joints):
+        t = t.compose(joint_transform(spec, j, q[..., j]))
+    tip = se3.Transform(
+        jnp.asarray(spec.tip_rot, q.dtype), jnp.asarray(spec.tip_trans, q.dtype)
+    )
+    return t.compose(tip)
+
+
+def link_transforms(
+    spec: ChainSpec,
+    q: Array,
+    base: Optional[se3.Transform] = None,
+) -> se3.Transform:
+    """World pose of **every** joint child frame, stacked on a new axis 0:
+    Transform with shapes ((J,) + batch + (3, 3) / (3,)).
+
+    Used by the dynamics layer (Jacobians, RNEA) and by collision costs.
+    """
+    ts = []
+    t = joint_transform(spec, 0, q[..., 0])
+    if base is not None:
+        t = base.compose(t)
+    ts.append(t)
+    for j in range(1, spec.n_joints):
+        t = t.compose(joint_transform(spec, j, q[..., j]))
+        ts.append(t)
+    return se3.Transform(
+        rot=jnp.stack([x.rot for x in ts], axis=0),
+        trans=jnp.stack([x.trans for x in ts], axis=0),
+    )

@@ -1,0 +1,260 @@
+"""HarrierD7 octorotor rigid-body dynamics — the in-framework plant.
+
+Replaces the Gazebo/RotorS physics pipeline for closed-loop evaluation and
+doubles as the MPPI internal model for whole-body control.  Physics and
+constants transcribed from the reference:
+
+* vehicle constants — mass 14.7 kg (+5.54 kg with arm base offset handled by
+  the coupled model), inertia diag(1.57, 3.93, 2.59), 8 rotors, k_f=4.63e-4,
+  k_m=0.0173, arm lengths 0.534/0.574 m, omega_max=650 rad/s
+  (``/root/reference/src/aerial_manipulation/urdf/harrierD7.xacro:29-49``,
+  ``src/controller.cpp:488-490,632-657``);
+* rotor model — asymmetric first-order speed lag (tau_up=0.0125,
+  tau_down=0.025), thrust k_f*omega^2 along rotor axis, aero drag
+  -|omega|*C_d*v_perp, yaw drag torque -dir*T*k_m, rolling moment
+  (``rotors_gazebo_plugins/src/gazebo_motor_model.cpp:407-484``,
+  ``common.h`` FirstOrderFilter);
+* rotor geometry encoded by the same allocation signs as the reference's
+  4x8 control-allocation matrix (``controller.cpp:632-657``).
+
+State uses a world-frame position/velocity + body-frame quaternion/rates
+layout with quaternion integration (the reference plant integrates inside
+ODE; its commented-out MPPI rollout model used euler angles,
+``drone_mppi.py:57-83``).  Everything is a pure function over pytrees:
+``step`` vmaps over MPPI samples and scans over sim time unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import rotations as rot
+
+Array = jax.Array
+
+GRAVITY = 9.81
+
+
+@dataclass(frozen=True)
+class MultirotorParams:
+    mass: float = 14.7
+    inertia: tuple = (1.57, 3.93, 2.59)
+    n_rotors: int = 8
+    motor_constant: float = 4.63e-4      # k_f [N s^2]
+    moment_constant: float = 0.0173      # k_m [m]
+    xlen: float = 0.534
+    ylen: float = 0.574
+    max_rotor_speed: float = 650.0
+    time_constant_up: float = 0.0125
+    time_constant_down: float = 0.025
+    rotor_drag_coefficient: float = 8.06428e-5
+    rolling_moment_coefficient: float = 1e-6
+    # Allocation sign rows (roll, pitch, yaw) per rotor — controller.cpp:639-652.
+    roll_signs: tuple = (-1, 1, 1, -1, -1, 1, 1, -1)
+    pitch_signs: tuple = (-1, -1, 1, 1, -1, -1, 1, 1)
+    yaw_signs: tuple = (1, -1, 1, -1, -1, 1, -1, 1)
+
+    def allocation_matrix(self) -> np.ndarray:
+        """(4, 8) mapping rotor speed^2 -> [tau_roll, tau_pitch, tau_yaw, T]."""
+        f, m = self.motor_constant, self.moment_constant
+        rows = [
+            np.asarray(self.roll_signs, np.float64) * self.ylen * f,
+            np.asarray(self.pitch_signs, np.float64) * self.xlen * f,
+            np.asarray(self.yaw_signs, np.float64) * f * m,
+            np.full(self.n_rotors, f),
+        ]
+        return np.stack(rows)
+
+    def allocation_pinv(self) -> np.ndarray:
+        """(8, 4) right pseudo-inverse A^T (A A^T)^-1 — controller.cpp:655."""
+        a = self.allocation_matrix()
+        return a.T @ np.linalg.inv(a @ a.T)
+
+    def hover_rotor_speed(self, extra_mass: float = 0.0) -> float:
+        thrust = (self.mass + extra_mass) * GRAVITY
+        return float(np.sqrt(thrust / (self.n_rotors * self.motor_constant)))
+
+
+class MultirotorState(NamedTuple):
+    pos: Array          # (…, 3) world position
+    quat: Array         # (…, 4) wxyz body->world
+    vel: Array          # (…, 3) world linear velocity
+    omega: Array        # (…, 3) body angular velocity
+    rotor_speed: Array  # (…, R) actual rotor speeds (first-order-lagged)
+
+
+def init_state(
+    params: MultirotorParams, pos=(0.0, 0.0, 0.0), batch_shape=(), dtype=jnp.float32
+) -> MultirotorState:
+    return MultirotorState(
+        pos=jnp.broadcast_to(jnp.asarray(pos, dtype), batch_shape + (3,)),
+        quat=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], dtype), batch_shape + (4,)),
+        vel=jnp.zeros(batch_shape + (3,), dtype),
+        omega=jnp.zeros(batch_shape + (3,), dtype),
+        rotor_speed=jnp.zeros(batch_shape + (params.n_rotors,), dtype),
+    )
+
+
+def wrench_from_rotors(
+    params: MultirotorParams, rotor_speed: Array, vel_body_perp: Array
+) -> tuple[Array, Array]:
+    """Body-frame (force, torque) from rotor speeds.
+
+    ``vel_body_perp`` is the body-frame airspeed component perpendicular to
+    the (common, +z) rotor axis, used for rotor drag and rolling moment
+    (gazebo_motor_model.cpp:440-473).
+    """
+    dtype = rotor_speed.dtype
+    w2 = rotor_speed * rotor_speed
+    alloc = jnp.asarray(params.allocation_matrix(), dtype)
+    tau_thrust = jnp.einsum("ir,...r->...i", alloc, w2)  # (..., 4)
+    abs_w_sum = jnp.sum(jnp.abs(rotor_speed), axis=-1, keepdims=True)
+    drag = -params.rotor_drag_coefficient * abs_w_sum * vel_body_perp
+    rolling = -params.rolling_moment_coefficient * abs_w_sum * vel_body_perp
+    force = drag + jnp.concatenate(
+        [jnp.zeros_like(tau_thrust[..., :2]), tau_thrust[..., 3:4]], axis=-1
+    )
+    torque = tau_thrust[..., :3] + rolling
+    return force, torque
+
+
+def rotor_lag(
+    params: MultirotorParams, rotor_speed: Array, rotor_cmd: Array, dt: float
+) -> Array:
+    """Asymmetric first-order rotor-speed filter (RotorS FirstOrderFilter:
+    tau picked per-rotor by whether the command is above or below the state)."""
+    cmd = jnp.clip(rotor_cmd, 0.0, params.max_rotor_speed)
+    tau = jnp.where(
+        cmd > rotor_speed, params.time_constant_up, params.time_constant_down
+    )
+    alpha = jnp.exp(-dt / tau)
+    return alpha * rotor_speed + (1.0 - alpha) * cmd
+
+
+def step(
+    params: MultirotorParams,
+    state: MultirotorState,
+    rotor_cmd: Array,
+    dt: float,
+    extra_mass: float = 0.0,
+    external_wrench_body: Optional[tuple] = None,
+    wind_world: Optional[Array] = None,
+) -> MultirotorState:
+    """One semi-implicit Euler physics step (batched over leading dims).
+
+    ``extra_mass`` models a rigidly attached payload/arm lump (the plant adds
+    5.54 kg when the manipulator spawns — controller.cpp:159-161);
+    ``external_wrench_body`` lets the whole-body model couple in arm reaction
+    forces; ``wind_world`` feeds the rotor-drag airspeed (wind plugin analog).
+    """
+    dtype = state.pos.dtype
+    m = params.mass + extra_mass
+    inertia = jnp.asarray(params.inertia, dtype)
+
+    rotor_speed = rotor_lag(params, rotor_speed=state.rotor_speed,
+                            rotor_cmd=rotor_cmd, dt=dt)
+
+    r = rot.quat_to_matrix(state.quat)  # body -> world
+    airspeed_world = state.vel if wind_world is None else state.vel - wind_world
+    v_body = jnp.einsum("...ji,...j->...i", r, airspeed_world)
+    v_perp = v_body.at[..., 2].set(0.0)
+
+    force_b, torque_b = wrench_from_rotors(params, rotor_speed, v_perp)
+    if external_wrench_body is not None:
+        force_b = force_b + external_wrench_body[0]
+        torque_b = torque_b + external_wrench_body[1]
+
+    # Translational dynamics in world frame.
+    acc = jnp.einsum("...ij,...j->...i", r, force_b) / m
+    acc = acc - jnp.asarray([0.0, 0.0, GRAVITY], dtype)
+
+    # Rotational dynamics in body frame (diagonal inertia).
+    iw = inertia * state.omega
+    omega_dot = (torque_b - jnp.cross(state.omega, iw)) / inertia
+
+    vel = state.vel + acc * dt
+    pos = state.pos + vel * dt
+    omega = state.omega + omega_dot * dt
+    dq = rot.quat_from_axis_angle(omega * dt)
+    quat = rot.quat_normalize(rot.quat_multiply(state.quat, dq))
+
+    return MultirotorState(
+        pos=pos, quat=quat, vel=vel, omega=omega, rotor_speed=rotor_speed
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reduced 12-state euler-angle model for MPPI rollouts
+# ---------------------------------------------------------------------------
+
+class Multirotor12State(NamedTuple):
+    """Reduced state for sampled rollouts: euler ZYX-as-(roll, pitch, yaw)
+    attitude, matching the reference's (commented) whole-quadrotor rollout
+    model (``drone_mppi.py:57-83``): inputs are [thrust, tau_xyz]."""
+
+    pos: Array    # (…, 3)
+    rpy: Array    # (…, 3)
+    vel: Array    # (…, 3) world
+    omega: Array  # (…, 3) body
+
+
+def euler_rate_matrix(rpy: Array) -> Array:
+    """Body rates -> euler-angle rates: eta_dot = J(eta) omega."""
+    phi, theta = rpy[..., 0], rpy[..., 1]
+    sphi, cphi = jnp.sin(phi), jnp.cos(phi)
+    ttheta = jnp.tan(theta)
+    ctheta = jnp.cos(theta)
+    o = jnp.zeros_like(phi)
+    i = jnp.ones_like(phi)
+    m = jnp.stack(
+        [
+            i, sphi * ttheta, cphi * ttheta,
+            o, cphi, -sphi,
+            o, sphi / ctheta, cphi / ctheta,
+        ],
+        axis=-1,
+    )
+    return m.reshape(rpy.shape[:-1] + (3, 3))
+
+
+def step12(
+    params: MultirotorParams,
+    state: Multirotor12State,
+    u: Array,
+    dt: float,
+    extra_mass: float = 0.0,
+    drag_kd: float = 0.0,
+) -> Multirotor12State:
+    """Explicit-Euler reduced step with wrench input u = [T, tau_x, tau_y, tau_z].
+
+    Follows the reference's intended rollout dynamics (drone_mppi.py:57-83):
+    omega <- omega + dt I^-1 tau; eta <- eta + dt J(eta) omega (angles wrapped
+    to [-pi, pi]); v <- v + dt (g + R f / m - k_d v); p <- p + dt v.
+    """
+    dtype = state.pos.dtype
+    m = params.mass + extra_mass
+    inertia = jnp.asarray(params.inertia, dtype)
+
+    omega = state.omega + dt * (u[..., 1:4] / inertia)
+    j = euler_rate_matrix(state.rpy)
+    rpy = state.rpy + dt * jnp.einsum("...ij,...j->...i", j, omega)
+    rpy = jnp.arctan2(jnp.sin(rpy), jnp.cos(rpy))
+
+    angles = jnp.stack([rpy[..., 2], rpy[..., 1], rpy[..., 0]], axis=-1)
+    r = rot.euler_to_matrix(angles, "ZYX")
+    thrust_b = jnp.concatenate(
+        [jnp.zeros_like(u[..., :2]), u[..., 0:1]], axis=-1
+    )
+    acc = (
+        jnp.einsum("...ij,...j->...i", r, thrust_b) / m
+        - jnp.asarray([0.0, 0.0, GRAVITY], dtype)
+        - drag_kd * state.vel
+    )
+    vel = state.vel + dt * acc
+    pos = state.pos + dt * vel
+    return Multirotor12State(pos=pos, rpy=rpy, vel=vel, omega=omega)

@@ -1,0 +1,165 @@
+"""Sensor models: ADIS16448 IMU noise and noisy/delayed odometry.
+
+Functional ports of the RotorS sensor plugins:
+
+* IMU — white measurement noise (density / sqrt(dt)) plus a first-order
+  Gauss-Markov bias random walk with the *exact* discrete covariance
+  (Maybeck 4-114) and a turn-on bias, per
+  ``/root/reference/src/rotors_simulator/rotors_gazebo_plugins/src/gazebo_imu_plugin.cpp:213-260``
+  with the ADIS defaults of ``gazebo_imu_plugin.h:40-57``;
+* odometry — per-field gaussian noise and a fixed-step measurement delay
+  (``gazebo_odometry_plugin.h:81-139``'s noise models + delay queue, realized
+  here as a rolling device-side buffer).
+
+Both keep their evolving state (biases, delay ring) in explicit pytrees so a
+whole noisy episode stays inside one jitted scan.  With zero noise parameters
+they collapse to the reference's ground-truth fixtures
+(``mav_generic_odometry_sensor.gazebo:27-56``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_PI = float(np.pi)
+
+
+@dataclass(frozen=True)
+class ImuParams:
+    """ADIS16448 defaults (gazebo_imu_plugin.h:40-57)."""
+
+    gyro_noise_density: float = 2.0 * 35.0 / 3600.0 / 180.0 * _PI
+    gyro_random_walk: float = 2.0 * 4.0 / 3600.0 / 180.0 * _PI
+    gyro_bias_corr_time: float = 1.0e3
+    gyro_turn_on_bias_sigma: float = 0.5 / 180.0 * _PI
+    accel_noise_density: float = 2.0 * 2.0e-3
+    accel_random_walk: float = 2.0 * 3.0e-3
+    accel_bias_corr_time: float = 300.0
+    accel_turn_on_bias_sigma: float = 20.0e-3 * 9.8
+
+
+class ImuState(NamedTuple):
+    gyro_bias: Array      # (3,)
+    accel_bias: Array     # (3,)
+    gyro_turn_on: Array   # (3,) constant per episode
+    accel_turn_on: Array  # (3,)
+
+
+def init_imu(params: ImuParams, key: Array, dtype=jnp.float32) -> ImuState:
+    kg, ka = jax.random.split(key)
+    return ImuState(
+        gyro_bias=jnp.zeros(3, dtype),
+        accel_bias=jnp.zeros(3, dtype),
+        gyro_turn_on=params.gyro_turn_on_bias_sigma
+        * jax.random.normal(kg, (3,), dtype),
+        accel_turn_on=params.accel_turn_on_bias_sigma
+        * jax.random.normal(ka, (3,), dtype),
+    )
+
+
+def imu_measure(
+    params: ImuParams,
+    state: ImuState,
+    key: Array,
+    true_accel: Array,
+    true_gyro: Array,
+    dt: float,
+) -> Tuple[Array, Array, ImuState]:
+    """Returns (accel_meas, gyro_meas, new_state) — gazebo_imu_plugin AddNoise."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dtype = true_accel.dtype
+
+    def gm_step(bias, sigma_b, tau, k):
+        sigma_d = jnp.sqrt(
+            -(sigma_b**2) * tau / 2.0 * (jnp.exp(-2.0 * dt / tau) - 1.0)
+        )
+        phi = jnp.exp(-dt / tau)
+        return phi * bias + sigma_d * jax.random.normal(k, (3,), dtype)
+
+    gyro_bias = gm_step(
+        state.gyro_bias, params.gyro_random_walk, params.gyro_bias_corr_time, k1
+    )
+    accel_bias = gm_step(
+        state.accel_bias, params.accel_random_walk, params.accel_bias_corr_time, k2
+    )
+    sigma_g_d = params.gyro_noise_density / jnp.sqrt(dt)
+    sigma_a_d = params.accel_noise_density / jnp.sqrt(dt)
+    gyro = (
+        true_gyro + gyro_bias + state.gyro_turn_on
+        + sigma_g_d * jax.random.normal(k3, (3,), dtype)
+    )
+    accel = (
+        true_accel + accel_bias + state.accel_turn_on
+        + sigma_a_d * jax.random.normal(k4, (3,), dtype)
+    )
+    return accel, gyro, state._replace(gyro_bias=gyro_bias, accel_bias=accel_bias)
+
+
+@dataclass(frozen=True)
+class OdometryParams:
+    """Zero defaults = the ground-truth fixture configuration."""
+
+    pos_noise: float = 0.0
+    vel_noise: float = 0.0
+    att_noise: float = 0.0      # applied to rpy-equivalent small angles
+    rate_noise: float = 0.0
+    delay_steps: int = 0        # measurement delay in sensor ticks
+
+
+class OdometryState(NamedTuple):
+    """Ring buffer of delayed measurements (pos, vel, rpy, omega)."""
+
+    buffer: Tuple[Array, Array, Array, Array]  # each (D+1, 3)
+    head: Array                                # () int32 ring index
+
+
+def init_odometry(
+    params: OdometryParams, pos: Array, dtype=jnp.float32
+) -> OdometryState:
+    d = params.delay_steps + 1
+    zeros = jnp.zeros((d, 3), dtype)
+    buf_pos = jnp.broadcast_to(pos, (d, 3)).astype(dtype)
+    return OdometryState(
+        buffer=(buf_pos, zeros, zeros, zeros), head=jnp.zeros((), jnp.int32)
+    )
+
+
+def odometry_measure(
+    params: OdometryParams,
+    state: OdometryState,
+    key: Array,
+    pos: Array,
+    vel: Array,
+    rpy: Array,
+    omega: Array,
+) -> Tuple[Tuple[Array, Array, Array, Array], OdometryState]:
+    """Push the true state, pop the delayed one, add per-field noise."""
+    d = params.delay_steps + 1
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dtype = pos.dtype
+
+    def noisy(x, sigma, k):
+        if sigma == 0.0:
+            return x
+        return x + sigma * jax.random.normal(k, x.shape, dtype)
+
+    bufs = state.buffer
+    head = state.head
+    new_bufs = tuple(
+        b.at[head].set(v) for b, v in zip(bufs, (pos, vel, rpy, omega))
+    )
+    tail = (head + 1) % d  # oldest entry = delayed measurement
+    meas = (
+        noisy(new_bufs[0][tail], params.pos_noise, k1),
+        noisy(new_bufs[1][tail], params.vel_noise, k2),
+        noisy(new_bufs[2][tail], params.att_noise, k3),
+        noisy(new_bufs[3][tail], params.rate_noise, k4),
+    )
+    return meas, OdometryState(buffer=new_bufs, head=tail)

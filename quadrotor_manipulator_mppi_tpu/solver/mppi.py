@@ -1,0 +1,124 @@
+"""The functional MPPI engine.
+
+The TPU-native redesign of the reference's solver classes
+(``/root/reference/src/mav_mppi/scripts/mppi_solver/mppi.py:122-169`` and
+``drone_mppi.py:140-176``): instead of a stateful object mutating GPU tensors
+from a 100 Hz Python loop, the engine is a pure function
+
+    step(state, obs) -> (u_seq, new_state)
+
+built once from a static :class:`MPPIConfig` plus two task callables (rollout
+and cost), then ``jax.jit``-ed.  All cross-step state — the receding-horizon
+warm start ``u_prev`` (reference ``mppi.py:153``) and the PRNG key (the
+reference's ``torch.randn`` is unseeded; we make randomness explicit) — lives
+in a :class:`MPPIState` pytree that stays device-resident between solves.
+
+The same ``step`` body runs single-chip or sharded: pass ``axis_name`` when
+tracing inside ``shard_map`` and the three sample-axis reductions (min, sum,
+weighted average — see ``ops/weights.py``) become ICI collectives.
+
+Solve pipeline (1:1 with the reference's compute_control_input):
+  sample noise -> v = u_prev + eps -> rollout -> per-sample cost S ->
+  softmin weights -> du = sum_k w_k eps_k -> Savitzky-Golay smooth ->
+  u = u_prev + du -> (optional constraint clamp) -> warm start.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import sampling, weights as weights_ops
+from ..utils import savgol
+
+Array = jax.Array
+RolloutFn = Callable[[Array, Any], Any]          # (v (K,H,A), obs) -> aux
+CostFn = Callable[[Any, Array, Array, Any], Array]  # (aux, v, u_prev, obs) -> S (K,)
+
+
+@dataclass(frozen=True)
+class MPPIConfig:
+    """Static solver hyperparameters (trace-time constants).
+
+    Defaults follow the reference arm solver (``mppi.py:37-42,75``;
+    sigma/savgol per ``standard_normal_noise.py:17`` and ``mppi.py:149``).
+    """
+
+    n_samples: int = 100
+    n_horizon: int = 32
+    n_action: int = 7
+    dt: float = 0.01
+    lam: float = 0.1
+    sigma: Any = 0.1              # scalar | (A,) | (A, A)
+    savgol_window: int = 9        # 0 disables smoothing
+    savgol_polyorder: int = 2
+    shift_warm_start: bool = False  # reference keeps u unshifted (mppi.py:153)
+    u_min: Optional[Any] = None   # per-action clamp (drone defines +-10,
+    u_max: Optional[Any] = None   # disabled — drone_mppi.py:132-138,163)
+    zero_mean_noise: bool = False
+
+
+class MPPIState(NamedTuple):
+    u_prev: Array  # (H, A) nominal control (acceleration) sequence
+    key: Array     # PRNG key
+
+
+def init_state(config: MPPIConfig, key: Array, dtype=jnp.float32) -> MPPIState:
+    return MPPIState(
+        u_prev=jnp.zeros((config.n_horizon, config.n_action), dtype),
+        key=key,
+    )
+
+
+def make_step(
+    config: MPPIConfig,
+    rollout_fn: RolloutFn,
+    cost_fn: CostFn,
+    axis_name: Optional[str] = None,
+    n_local_samples: Optional[int] = None,
+) -> Callable[[MPPIState, Any], Tuple[Array, MPPIState]]:
+    """Build the solve step.  ``n_local_samples`` overrides K for the
+    per-device shard when the sample axis is sharded (total K stays
+    ``config.n_samples``; weights normalize globally via the collectives)."""
+    k_local = n_local_samples or config.n_samples
+
+    def step(state: MPPIState, obs: Any) -> Tuple[Array, MPPIState]:
+        key, sub = jax.random.split(state.key)
+        if axis_name is not None:
+            # Decorrelate shards: fold the device index into the key.
+            sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
+        noise = sampling.sample_noise(
+            sub, k_local, config.n_horizon, config.n_action,
+            config.sigma, state.u_prev.dtype,
+        )
+        if config.zero_mean_noise:
+            noise = sampling.zero_mean_trick(noise)
+
+        v = state.u_prev[None] + noise
+        aux = rollout_fn(v, obs)
+        s = cost_fn(aux, v, state.u_prev, obs)
+
+        w = weights_ops.softmin_weights(s, config.lam, axis_name)
+        du = weights_ops.weighted_noise_average(w, noise, axis_name)
+        if config.savgol_window:
+            du = savgol.smooth(du, config.savgol_window, config.savgol_polyorder)
+
+        u = state.u_prev + du
+        if config.u_min is not None or config.u_max is not None:
+            u = jnp.clip(
+                u,
+                None if config.u_min is None else jnp.asarray(config.u_min, u.dtype),
+                None if config.u_max is None else jnp.asarray(config.u_max, u.dtype),
+            )
+
+        if config.shift_warm_start:
+            warm = jnp.concatenate([u[1:], u[-1:]], axis=0)
+        else:
+            warm = u
+        return u, MPPIState(u_prev=warm, key=key)
+
+    return step

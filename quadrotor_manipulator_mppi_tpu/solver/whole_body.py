@@ -1,0 +1,197 @@
+"""Whole-body quadrotor + arm MPPI — the flagship solver config.
+
+The capability the reference names as its end goal but never built
+(``README.md:30-34`` to-do list: "Whole Body Control (Drone + Manipulator)").
+Couples the octorotor wrench and the arm joint accelerations in one sampled
+action space (4 + 7 = 11 actions) over a true-dynamics rollout
+(``models/whole_body.rollout``), with an end-effector pose cost plus base
+regularization.  Benchmark point per BASELINE.json: K=4096, H=50.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import kinova
+from ..models.multirotor import Multirotor12State
+from ..models.whole_body import (
+    N_BASE_ACTIONS,
+    WholeBodyParams,
+    WholeBodyState,
+    hover_nominal_action,
+    rollout,
+)
+from ..ops import costs as costs_mod
+from ..utils.pose import Pose
+from .mppi import MPPIConfig, MPPIState, make_step
+
+Array = jax.Array
+
+N_ACTIONS = N_BASE_ACTIONS + kinova.N_JOINTS  # 11
+
+
+def default_sigma() -> np.ndarray:
+    """Per-action exploration scales: [thrust N, torque N*m x3, qddot x7]."""
+    return np.asarray([30.0, 3.0, 3.0, 1.0] + [1.0] * kinova.N_JOINTS)
+
+
+@dataclass(frozen=True)
+class WholeBodyCostParams:
+    """EE pose weights follow the reference arm stack (cost_manager.py:30-43);
+    the base-regularization terms are new (the reference has no whole-body
+    solver to take them from)."""
+
+    stage_pose_weight: float = 50.0
+    stage_orientation_weight: float = 30.0
+    terminal_pose_weight: float = 40.0
+    terminal_orientation_weight: float = 30.0
+    base_pos_weight: float = 20.0       # keep the base near its setpoint
+    attitude_weight: float = 50.0       # roll/pitch upright regularization
+    omega_weight: float = 1.0
+    vel_weight: float = 1.0
+    action_weight: float = 0.0
+    joint_limit_weight: float = 1.0
+    gamma: float = 0.98
+    ori_mode: str = "log"
+    obstacle_weight: float = 0.0
+    obstacle_centers: tuple = ()        # ((x, y, z), ...)
+    obstacle_radii: tuple = ()
+
+
+@dataclass(frozen=True)
+class WholeBodyMPPIParams:
+    mppi: MPPIConfig = field(
+        default_factory=lambda: MPPIConfig(
+            n_samples=4096,
+            n_horizon=50,
+            n_action=N_ACTIONS,
+            dt=0.01,
+            lam=0.1,
+            sigma=default_sigma(),
+            savgol_window=9,
+            savgol_polyorder=2,
+            shift_warm_start=False,
+        )
+    )
+    model: WholeBodyParams = field(default_factory=WholeBodyParams)
+    cost: WholeBodyCostParams = field(default_factory=WholeBodyCostParams)
+
+
+class WholeBodyObs(NamedTuple):
+    state: WholeBodyState
+    ee_target: Pose
+    base_target: Array  # (3,) hover/station-keeping position for the base
+
+
+class WholeBodyOutput(NamedTuple):
+    action: Array        # (11,) [thrust, tau, qddot] to apply now
+    u_seq: Array         # (H, 11)
+    qdes: Array          # (7,) next arm position setpoint
+    vdes: Array          # (7,) next arm velocity setpoint
+
+
+def make_whole_body_solver(
+    params: WholeBodyMPPIParams = WholeBodyMPPIParams(),
+    axis_name: Optional[str] = None,
+    n_local_samples: Optional[int] = None,
+):
+    cfg = params.mppi
+    cp = params.cost
+    mp = params.model
+    spec = mp.chain()
+    q_lower = jnp.asarray(spec.lower, jnp.float32)
+    q_upper = jnp.asarray(spec.upper, jnp.float32)
+    has_obstacles = cp.obstacle_weight and len(cp.obstacle_centers)
+
+    def rollout_fn(v: Array, obs: WholeBodyObs):
+        return rollout(mp, obs.state, v, cfg.dt)
+
+    def cost_fn(aux, v: Array, u_prev: Array, obs: WholeBodyObs) -> Array:
+        ee, q, qdot, base = aux
+        target_pos = obs.ee_target.position
+        target_rot = obs.ee_target.rotation_matrix
+        s = costs_mod.pose_stage_cost(
+            ee.trans, ee.rot, target_pos, target_rot,
+            cp.stage_pose_weight, cp.stage_orientation_weight, cp.ori_mode,
+        )
+        s = s + costs_mod.pose_terminal_cost(
+            ee.trans, ee.rot, target_pos, target_rot,
+            cp.terminal_pose_weight, cp.terminal_orientation_weight, cp.ori_mode,
+        )
+        if cp.base_pos_weight:
+            s = s + costs_mod.position_stage_cost(
+                base.pos, obs.base_target, cp.base_pos_weight / base.pos.shape[-2]
+            )
+        if cp.attitude_weight:
+            tilt = base.rpy[..., :2]
+            s = s + cp.attitude_weight * jnp.mean(
+                jnp.sum(tilt * tilt, axis=-1), axis=-1
+            )
+        if cp.omega_weight:
+            s = s + cp.omega_weight * jnp.mean(
+                jnp.sum(base.omega * base.omega, axis=-1), axis=-1
+            )
+        if cp.vel_weight:
+            s = s + cp.vel_weight * jnp.mean(
+                jnp.sum(base.vel * base.vel, axis=-1), axis=-1
+            )
+        if cp.action_weight:
+            s = s + costs_mod.action_cost(v, cp.action_weight, cp.gamma)
+        if cp.joint_limit_weight:
+            s = s + cp.joint_limit_weight * costs_mod.joint_limit_cost(
+                q, q_lower, q_upper, cp.gamma
+            )
+        if has_obstacles:
+            s = s + costs_mod.sphere_obstacle_cost(
+                ee.trans,
+                jnp.asarray(cp.obstacle_centers, ee.trans.dtype),
+                jnp.asarray(cp.obstacle_radii, ee.trans.dtype),
+                cp.obstacle_weight,
+            )
+        return s
+
+    inner = make_step(cfg, rollout_fn, cost_fn, axis_name, n_local_samples)
+
+    def step(state: MPPIState, obs: WholeBodyObs) -> Tuple[WholeBodyOutput, MPPIState]:
+        qddot_prev = state.u_prev[0, N_BASE_ACTIONS:]
+        u_seq, new_state = inner(state, obs)
+        u0 = u_seq[0]
+        arm_u0 = u0[N_BASE_ACTIONS:]
+        vdes = obs.state.qdot + arm_u0 * cfg.dt
+        qdes = obs.state.q + qddot_prev * cfg.dt + 0.5 * arm_u0 * cfg.dt * cfg.dt
+        return WholeBodyOutput(action=u0, u_seq=u_seq, qdes=qdes, vdes=vdes), new_state
+
+    def init(key: Array, dtype=jnp.float32) -> MPPIState:
+        return MPPIState(
+            u_prev=hover_nominal_action(mp, cfg.n_horizon, dtype), key=key
+        )
+
+    return step, init
+
+
+def default_obs(dtype=jnp.float32) -> WholeBodyObs:
+    """A hover + reach task: base at 2.1 m (the launch file's hover target,
+    ``launch/aerial_manipulator.launch:30-45``), arm at home, EE target =
+    the reference demo target (``mppi.py:71-73``)."""
+    base = Multirotor12State(
+        pos=jnp.asarray([0.0, 0.0, 2.1], dtype),
+        rpy=jnp.zeros(3, dtype),
+        vel=jnp.zeros(3, dtype),
+        omega=jnp.zeros(3, dtype),
+    )
+    state = WholeBodyState(
+        base=base,
+        q=jnp.asarray(kinova.Q_HOME, dtype),
+        qdot=jnp.zeros(7, dtype),
+    )
+    from .arm import default_target
+
+    # The reference demo target is world-frame for a base hovering at ~2.1 m
+    # (it sits ~0.45 m below the base, within the hanging arm's workspace).
+    target = default_target(dtype)
+    return WholeBodyObs(state=state, ee_target=target, base_target=base.pos)

@@ -1,0 +1,136 @@
+"""Sharded-solver tests on the 8-device virtual CPU mesh.
+
+SURVEY.md test strategy (d): the sharded solve must equal a single-device
+solve that consumes the same global noise set.  The sharded step draws noise
+per shard from fold_in(key, shard_index); the single-device replica below
+reconstructs exactly that noise layout and runs the unsharded math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quadrotor_manipulator_mppi_tpu.ops import sampling, weights as w_ops
+from quadrotor_manipulator_mppi_tpu.parallel import mesh as mesh_mod
+from quadrotor_manipulator_mppi_tpu.parallel.sharded import (
+    make_sharded_solver,
+    scenario_keys,
+)
+from quadrotor_manipulator_mppi_tpu.solver import drone as drone_solver
+from quadrotor_manipulator_mppi_tpu.solver import whole_body as wb
+from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig, MPPIState
+from quadrotor_manipulator_mppi_tpu.utils import savgol
+
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_8
+def test_sharded_drone_solver_matches_manual_global_replica():
+    n_dev = 8
+    k_total, h, a = 64, 32, 3
+    params = drone_solver.DroneMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=k_total, n_horizon=h, n_action=a,
+            dt=0.01, lam=0.1, sigma=30.0, savgol_window=5,
+        )
+    )
+    mesh = mesh_mod.make_mesh(n_sample_shards=n_dev, n_scenario_shards=1)
+    sharded_step, init = make_sharded_solver(
+        drone_solver.make_drone_solver, mesh, batch_scenarios=True, params=params
+    )
+
+    key = jax.random.key(42)
+    state = MPPIState(u_prev=jnp.zeros((h, a)), key=key)
+    states = jax.tree.map(lambda x: x[None], state)  # 1 scenario
+    obs1 = drone_solver.DroneObs(
+        x=jnp.asarray([0.2, -0.1, 1.0]),
+        v=jnp.asarray([0.0, 0.1, 0.0]),
+        target=jnp.asarray(drone_solver.DEFAULT_TARGET),
+    )
+    obs = jax.tree.map(lambda x: x[None], obs1)
+
+    with jax.set_mesh(mesh):
+        out, new_states = jax.jit(sharded_step)(states, obs)
+    u_sharded = np.asarray(out.u_seq[0])
+
+    # --- single-device replica consuming the identical global noise ---
+    key_next, sub = jax.random.split(key)
+    k_local = k_total // n_dev
+    noise_shards = [
+        sampling.sample_noise(
+            jax.random.fold_in(sub, i), k_local, h, a, 30.0, jnp.float32
+        )
+        for i in range(n_dev)
+    ]
+    noise = jnp.concatenate(noise_shards, axis=0)
+    v = state.u_prev[None] + noise
+    from quadrotor_manipulator_mppi_tpu.ops import costs, integrators
+
+    traj, _ = integrators.double_integrate(v, obs1.x, obs1.v, 0.01)
+    s = costs.position_stage_cost(traj, obs1.target, 100.0)
+    s = s + costs.position_terminal_cost(traj, obs1.target, 20.0)
+    w = w_ops.softmin_weights(s, 0.1)
+    du = w_ops.weighted_noise_average(w, noise)
+    du = savgol.smooth(du, 5, 2)
+    u_manual = np.asarray(state.u_prev + du)
+
+    np.testing.assert_allclose(u_sharded, u_manual, rtol=2e-4, atol=2e-5)
+
+
+@requires_8
+def test_sharded_whole_body_scenario_batch_runs():
+    n_dev = 8
+    mesh = mesh_mod.make_mesh(n_sample_shards=4, n_scenario_shards=2)
+    params = wb.WholeBodyMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=16, n_horizon=8, n_action=wb.N_ACTIONS,
+            dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=5,
+        )
+    )
+    step, init = make_sharded_solver(
+        wb.make_whole_body_solver, mesh, params=params
+    )
+    n_scn = 4
+    keys = scenario_keys(jax.random.key(0), n_scn)
+    states = jax.vmap(init)(keys)
+    obs1 = wb.default_obs()
+    obs = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_scn,) + x.shape), obs1)
+    with jax.set_mesh(mesh):
+        out, new_states = jax.jit(step)(states, obs)
+        jax.block_until_ready(out)
+    assert out.action.shape == (n_scn, wb.N_ACTIONS)
+    assert np.all(np.isfinite(np.asarray(out.action)))
+    # Distinct keys -> distinct scenario solutions even with identical obs.
+    assert not np.allclose(np.asarray(out.action[0]), np.asarray(out.action[1]))
+
+
+@requires_8
+def test_softmin_weights_sharded_equals_global(rng):
+    """The three collectives reduce identically to the unsharded reduction."""
+    mesh = mesh_mod.make_mesh(n_sample_shards=8, n_scenario_shards=1)
+    s_global = jnp.asarray(rng.uniform(0, 50, size=256), jnp.float32)
+    noise_global = jnp.asarray(rng.normal(size=(256, 16, 3)), jnp.float32)
+
+    def local_fn(s, noise):
+        w = w_ops.softmin_weights(s, 0.1, axis_name=mesh_mod.SAMPLE_AXIS)
+        return w_ops.weighted_noise_average(w, noise, axis_name=mesh_mod.SAMPLE_AXIS)
+
+    from jax.sharding import PartitionSpec as P
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(mesh_mod.SAMPLE_AXIS), P(mesh_mod.SAMPLE_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    with jax.set_mesh(mesh):
+        du_sharded = np.asarray(jax.jit(sharded)(s_global, noise_global))
+    w = w_ops.softmin_weights(s_global, 0.1)
+    du = np.asarray(w_ops.weighted_noise_average(w, noise_global))
+    np.testing.assert_allclose(du_sharded, du, rtol=1e-5, atol=1e-6)

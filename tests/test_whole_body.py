@@ -1,0 +1,122 @@
+"""Whole-body coupled model and solver tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quadrotor_manipulator_mppi_tpu.models import kinova
+from quadrotor_manipulator_mppi_tpu.models import whole_body as wbm
+from quadrotor_manipulator_mppi_tpu.models.multirotor import Multirotor12State
+from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig
+
+
+def small_params(k=32, h=10):
+    return wbs.WholeBodyMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=k, n_horizon=h, n_action=wbs.N_ACTIONS,
+            dt=0.01, lam=0.1, sigma=wbs.default_sigma(), savgol_window=5,
+        )
+    )
+
+
+def test_rollout_shapes_and_finiteness():
+    params = small_params()
+    obs = wbs.default_obs()
+    k, h = 32, 10
+    actions = jnp.broadcast_to(
+        wbm.hover_nominal_action(params.model, h), (k, h, wbs.N_ACTIONS)
+    )
+    ee, q, qdot, base = wbm.rollout(params.model, obs.state, actions, 0.01)
+    assert ee.trans.shape == (k, h, 3)
+    assert ee.rot.shape == (k, h, 3, 3)
+    assert q.shape == (k, h, 7)
+    assert base.pos.shape == (k, h, 3)
+    for leaf in (ee.trans, ee.rot, q, qdot, base.pos, base.rpy):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_hover_nominal_holds_altitude():
+    """Gravity-balancing nominal keeps the coupled base near its altitude
+    (small sag from the arm-gravity coupling is expected, since the nominal
+    thrust includes the arm lump mass which the coupling also injects)."""
+    params = small_params(k=1, h=50)
+    obs = wbs.default_obs()
+    actions = wbm.hover_nominal_action(params.model, 50)[None]
+    ee, q, qdot, base = wbm.rollout(params.model, obs.state, actions, 0.01)
+    z = np.asarray(base.pos[0, :, 2])
+    assert abs(z[-1] - 2.1) < 0.2, f"altitude drifted to {z[-1]}"
+
+
+def test_arm_gravity_wrench_magnitude():
+    """Static arm reaction force equals total arm weight."""
+    spec = kinova.chain()
+    params = kinova.inertials()
+    q = jnp.asarray(kinova.Q_HOME, jnp.float32)
+    f, tau = wbm.arm_gravity_wrench(spec, params, q, jnp.eye(3))
+    total_w = float(np.sum(params.mass)) * 9.81
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(f)), total_w, rtol=1e-4)
+
+
+def test_whole_body_solver_improves_ee_error():
+    params = wbs.WholeBodyMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=256, n_horizon=25, n_action=wbs.N_ACTIONS,
+            dt=0.01, lam=0.1, sigma=wbs.default_sigma(), savgol_window=9,
+        )
+    )
+    step, init = wbs.make_whole_body_solver(params)
+    obs0 = wbs.default_obs()
+
+    from quadrotor_manipulator_mppi_tpu.models import chain as chain_mod
+    from quadrotor_manipulator_mppi_tpu.models.multirotor import step12
+    from quadrotor_manipulator_mppi_tpu.models.whole_body import (
+        WholeBodyState,
+        base_rotation,
+    )
+    from quadrotor_manipulator_mppi_tpu.ops import integrators
+    from quadrotor_manipulator_mppi_tpu.utils import se3
+
+    spec = params.model.chain()
+
+    def ee_err(state):
+        base_tf = se3.Transform(
+            rot=base_rotation(state.base), trans=state.base.pos
+        )
+        ee = chain_mod.forward_kinematics(spec, state.q, base=base_tf)
+        return jnp.linalg.norm(ee.trans - obs0.ee_target.position)
+
+    def body(carry, _):
+        state, solver = carry
+        obs = wbs.WholeBodyObs(
+            state=state, ee_target=obs0.ee_target, base_target=obs0.base_target
+        )
+        out, solver = step(solver, obs)
+        # Plant == rollout model (perfect-model MPC): apply the first action.
+        base = step12(
+            params.model.vehicle, state.base, out.action[:4], 0.01,
+            extra_mass=params.model.arm_mass_lump,
+        )
+        qdot = state.qdot + out.action[4:] * 0.01
+        q = state.q + state.qdot * 0.01 + 0.5 * out.action[4:] * 1e-4
+        state = WholeBodyState(base=base, q=q, qdot=qdot)
+        return (state, solver), ee_err(state)
+
+    run = jax.jit(lambda c0: jax.lax.scan(body, c0, None, length=200)[1])
+    errs = np.asarray(run((obs0.state, init(jax.random.key(0)))))
+    assert np.all(np.isfinite(errs))
+    assert errs.min() < errs[0] * 0.6, f"no improvement: {errs[0]:.3f} -> min {errs.min():.3f}"
+
+
+def test_obstacle_cost_steers_samples():
+    from quadrotor_manipulator_mppi_tpu.ops import costs
+
+    points = jnp.zeros((4, 10, 3))  # all trajectories sit at origin
+    centers = jnp.asarray([[0.0, 0.0, 0.0]])
+    radii = jnp.asarray([0.5])
+    c = costs.sphere_obstacle_cost(points, centers, radii, weight=1.0)
+    assert c.shape == (4,)
+    assert float(c[0]) > 0  # deep penetration penalized
+    far = costs.sphere_obstacle_cost(points + 10.0, centers, radii, weight=1.0)
+    np.testing.assert_allclose(np.asarray(far), 0.0)
