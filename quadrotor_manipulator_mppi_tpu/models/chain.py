@@ -36,6 +36,27 @@ REVOLUTE = 0
 PRISMATIC = 1
 
 
+def matrix_to_quat_np(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> wxyz quaternion, host-side float64 (Shepperd)."""
+    t = np.trace(m)
+    cands = np.array([1 + t, 1 + m[0, 0] - m[1, 1] - m[2, 2],
+                      1 - m[0, 0] + m[1, 1] - m[2, 2],
+                      1 - m[0, 0] - m[1, 1] + m[2, 2]])
+    i = int(np.argmax(cands))
+    s = 2.0 * np.sqrt(max(cands[i], 1e-12))
+    if i == 0:
+        q = np.array([s * s / 4, m[2, 1] - m[1, 2], m[0, 2] - m[2, 0], m[1, 0] - m[0, 1]]) / s
+    elif i == 1:
+        q = np.array([m[2, 1] - m[1, 2], s * s / 4, m[0, 1] + m[1, 0], m[0, 2] + m[2, 0]]) / s
+    elif i == 2:
+        q = np.array([m[0, 2] - m[2, 0], m[0, 1] + m[1, 0], s * s / 4, m[1, 2] + m[2, 1]]) / s
+    else:
+        q = np.array([m[1, 0] - m[0, 1], m[0, 2] + m[2, 0], m[1, 2] + m[2, 1], s * s / 4]) / s
+    if q[0] < 0:
+        q = -q
+    return q / np.linalg.norm(q)
+
+
 def rpy_to_matrix_np(rpy) -> np.ndarray:
     """URDF roll/pitch/yaw -> rotation matrix, host-side float64."""
     r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
@@ -189,6 +210,103 @@ def forward_kinematics(
         jnp.asarray(spec.tip_rot, q.dtype), jnp.asarray(spec.tip_trans, q.dtype)
     )
     return t.compose(tip)
+
+
+def forward_kinematics_posquat(
+    spec: ChainSpec,
+    q: Array,
+    base_pos: Optional[Array] = None,
+    base_quat: Optional[Array] = None,
+) -> tuple:
+    """Tip pose as (position [..., 3], quaternion wxyz [..., 4]) — the
+    TPU-fast FK path.
+
+    Same chain semantics as :func:`forward_kinematics`, but carried as
+    quaternion + translation so every operation is **elementwise** on the
+    batch: no batched 3x3 ``dot_general`` at all.  On TPU, batched tiny
+    matmuls land on the 128x128 MXU with >99% padding waste (measured ~20 ms
+    for (4096, 50) FK vs ~1 ms this way); the VPU eats the quaternion algebra
+    at full lane utilization.  Prefer this in solver hot paths; the matrix
+    path remains the oracle for tests.
+    """
+    from ..utils import rotations as rot
+
+    dtype = q.dtype
+    t_quat = base_quat
+    t_pos = base_pos
+
+    for j in range(spec.n_joints):
+        oq = jnp.asarray(matrix_to_quat_np(spec.origin_rot[j]), dtype)
+        ot = jnp.asarray(spec.origin_trans[j], dtype)
+        if int(spec.joint_type[j]) == REVOLUTE:
+            half = 0.5 * q[..., j]
+            axis = spec.axis[j]
+            zeros = jnp.zeros_like(half)
+            sin_half = jnp.sin(half)
+            dq = jnp.stack(
+                [jnp.cos(half)]
+                + [sin_half * float(axis[i]) if axis[i] != 0.0 else zeros
+                   for i in range(3)],
+                axis=-1,
+            )
+            # Joint frame = origin rotation then axis rotation.
+            jq = rot.quat_multiply(oq, dq)
+            jt = ot
+        else:  # prismatic: origin rotation fixed, translation slides
+            jq = jnp.broadcast_to(oq, q.shape[:-1] + (4,))
+            jt_var = jnp.asarray(spec.origin_rot[j] @ spec.axis[j], dtype)
+            jt = ot + jt_var * q[..., j : j + 1]
+        if t_quat is None:
+            t_quat = jnp.broadcast_to(jq, q.shape[:-1] + (4,))
+            t_pos = jnp.broadcast_to(jnp.asarray(jt, dtype), q.shape[:-1] + (3,))
+        else:
+            t_pos = t_pos + rot.quat_rotate(t_quat, jt)
+            t_quat = rot.quat_multiply(t_quat, jq)
+
+    tip_q = jnp.asarray(matrix_to_quat_np(spec.tip_rot), dtype)
+    if not np.allclose(spec.tip_trans, 0.0):
+        t_pos = t_pos + rot.quat_rotate(t_quat, jnp.asarray(spec.tip_trans, dtype))
+    if not np.allclose(spec.tip_rot, np.eye(3)):
+        t_quat = rot.quat_multiply(t_quat, tip_q)
+    return t_pos, t_quat
+
+
+def link_positions_posquat(spec: ChainSpec, q: Array, offsets: np.ndarray) -> Array:
+    """World-frame position of a fixed offset point in every joint child
+    frame (e.g. link COMs), via the matmul-free quaternion chain.
+
+    offsets: (J, 3) host constants.  Returns [..., J, 3] stacked on a new
+    trailing joint axis.  Used by the static arm-gravity wrench (the hot-path
+    replacement for a full RNEA pass when only gravity moments are needed).
+    """
+    from ..utils import rotations as rot
+
+    dtype = q.dtype
+    t_quat = None
+    t_pos = None
+    points = []
+    for j in range(spec.n_joints):
+        oq = jnp.asarray(matrix_to_quat_np(spec.origin_rot[j]), dtype)
+        ot = jnp.asarray(spec.origin_trans[j], dtype)
+        half = 0.5 * q[..., j]
+        axis = spec.axis[j]
+        zeros = jnp.zeros_like(half)
+        sin_half = jnp.sin(half)
+        dq = jnp.stack(
+            [jnp.cos(half)]
+            + [sin_half * float(axis[i]) if axis[i] != 0.0 else zeros
+               for i in range(3)],
+            axis=-1,
+        )
+        jq = rot.quat_multiply(oq, dq)
+        if t_quat is None:
+            t_quat = jnp.broadcast_to(jq, q.shape[:-1] + (4,))
+            t_pos = jnp.broadcast_to(ot, q.shape[:-1] + (3,))
+        else:
+            t_pos = t_pos + rot.quat_rotate(t_quat, ot)
+            t_quat = rot.quat_multiply(t_quat, jq)
+        points.append(t_pos + rot.quat_rotate(t_quat, jnp.asarray(offsets[j], dtype)))
+    return jnp.stack(points, axis=-2)
 
 
 def link_transforms(

@@ -60,8 +60,8 @@ Q_CENTER = np.array([0.0, (JOINT_LOWER[1] + JOINT_UPPER[1]) / 2, 0.0,
                      (JOINT_LOWER[5] + JOINT_UPPER[5]) / 2, 0.0])
 
 # Home posture commanded by the reference arm node before MPPI engages
-# (``scripts/kinova.py`` phase-1 target).
-Q_HOME = np.array([1.57, 2.0, 0.0, 1.0, 0.0, 2.0, 0.0])
+# (``scripts/kinova.py:136`` phase-1 target qtarget).
+Q_HOME = np.array([1.57, 1.7, 0.0, 4.4, 0.0, 4.71, 0.0])
 
 
 def chain(tip: str = "link_7") -> ChainSpec:

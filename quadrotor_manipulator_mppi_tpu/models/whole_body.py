@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from ..ops import integrators
 from ..utils import rotations as rot
-from ..utils import se3
+from ..utils import se3  # noqa: F401  (kept for API compat)
+from ..utils.pose import Pose
 from . import chain as chain_mod
 from . import kinova
 from .chain import ChainSpec
@@ -52,6 +53,10 @@ class WholeBodyParams:
     arm_mass_lump: float = 5.54   # plant adds this with the arm (controller.cpp:159-161)
     couple_arm_gravity: bool = True
     drag_kd: float = 0.0
+    # Parallel-in-time rollout (quaternion associative scan) vs sequential
+    # euler-angle lax.scan.  Same physics to first order; the parallel path
+    # turns the horizon axis into log-depth prefix ops (see rollout_parallel).
+    time_parallel: bool = True
 
     def chain(self) -> ChainSpec:
         return kinova.chain(self.arm_tip)
@@ -64,6 +69,25 @@ class WholeBodyState(NamedTuple):
     base: Multirotor12State
     q: Array      # (…, 7)
     qdot: Array   # (…, 7)
+
+
+class BaseTraj(NamedTuple):
+    """Base trajectory over (K, H): world position/velocity, body->world
+    quaternion (wxyz), body rates.  Quaternion (not matrix) so the whole
+    rollout->cost pipeline stays free of batched 3x3 matmuls."""
+
+    pos: Array    # (K, H, 3)
+    quat: Array   # (K, H, 4)
+    vel: Array    # (K, H, 3)
+    omega: Array  # (K, H, 3)
+
+    def tilt_squared(self) -> Array:
+        """sin^2 of the body-z tilt components: R[0,2]^2 + R[1,2]^2 computed
+        directly from the quaternion (== roll^2 + pitch^2 to first order)."""
+        w, x, y, z = jnp.moveaxis(self.quat, -1, 0)
+        r02 = 2.0 * (x * z + w * y)
+        r12 = 2.0 * (y * z - w * x)
+        return r02 * r02 + r12 * r12
 
 
 def base_rotation(base: Multirotor12State) -> Array:
@@ -93,17 +117,114 @@ def arm_gravity_wrench(
     return -wrench.lin, -wrench.ang
 
 
+def arm_gravity_torque_fast(
+    spec: ChainSpec,
+    inertials: InertialParams,
+    q: Array,
+    base_rot: Array,
+) -> Array:
+    """Gravity *moment* of the arm about the base origin, base frame —
+    tau = sum_i m_i (c_i x g_b) with COM positions from the matmul-free
+    quaternion chain.  Statically equivalent to the torque component of
+    :func:`arm_gravity_wrench` (tested) at a fraction of the cost; used in
+    the rollout hot path where only the moment matters (the weight itself is
+    carried by the base mass lump).
+    """
+    dtype = q.dtype
+    coms = chain_mod.link_positions_posquat(spec, q, inertials.com)  # [..., J, 3]
+    # Gravity in the base frame: g_b = R^T (0, 0, -g).
+    g_b = -9.81 * jnp.swapaxes(base_rot, -1, -2)[..., :, 2]
+    masses = jnp.asarray(inertials.mass, dtype)
+    weighted = jnp.einsum("...ji,j->...i", jnp.cross(coms, g_b[..., None, :]), masses)
+    return weighted
+
+
+def _base_rollout_scan(
+    params: WholeBodyParams, state: WholeBodyState, base_u: Array, dt: float, k: int
+) -> BaseTraj:
+    """Sequential reference-style base rollout: lax.scan of euler-angle
+    ``step12`` over the horizon (the reference's commented rollout scheme,
+    ``drone_mppi.py:57-83``)."""
+    base0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (k,) + x.shape), state.base
+    )
+
+    def step_fn(b, u_t):
+        nxt = step12(
+            params.vehicle, b, u_t, dt,
+            extra_mass=params.arm_mass_lump, drag_kd=params.drag_kd,
+        )
+        return nxt, nxt
+
+    _, traj = jax.lax.scan(step_fn, base0, jnp.moveaxis(base_u, 1, 0))
+    traj = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), traj)
+    return BaseTraj(
+        pos=traj.pos,
+        quat=rot.matrix_to_quat(base_rotation(traj)),
+        vel=traj.vel,
+        omega=traj.omega,
+    )
+
+
+def _base_rollout_parallel(
+    params: WholeBodyParams, state: WholeBodyState, base_u: Array, dt: float, k: int
+) -> BaseTraj:
+    """Parallel-in-time base rollout — the TPU-native path.
+
+    The sequential dependence of a wrench-driven rigid body factorizes into
+    prefix operations (SURVEY.md section 2.4 "horizon parallelism", taken
+    beyond the reference's cumsum-only kinematics):
+
+      omega_t   = omega_0 + cumsum(I^-1 tau dt)          (gyroscopic term
+                  dropped, as in the reference's model and step12)
+      R_t       = R_0 * prod_{s<=t} exp(omega_s dt)      -> quaternion
+                  associative_scan (log-depth, fully batched)
+      vel_t     = vel_0 + cumsum((R_t f_t)/m - g) dt
+      pos_t     = pos_0 + cumsum(vel_t) dt
+
+    Matches ``step12``'s semi-implicit update order (new omega -> new
+    attitude -> acc -> new vel -> new pos) with quaternion instead of
+    euler-rate attitude integration — first-order equivalent, and closer to
+    the full plant (``multirotor.step``), which also integrates quaternions.
+    drag_kd > 0 would make vel an affine recurrence (still scannable);
+    unsupported here until needed.
+    """
+    if params.drag_kd:
+        raise NotImplementedError("drag_kd > 0 requires the scan rollout")
+    dtype = base_u.dtype
+    vehicle = params.vehicle
+    m = vehicle.mass + params.arm_mass_lump
+    inertia = jnp.asarray(vehicle.inertia, dtype)
+
+    omega = state.base.omega + jnp.cumsum(base_u[..., 1:4] / inertia * dt, axis=-2)
+    dq = rot.quat_from_axis_angle(omega * dt)                   # (K, H, 4)
+    prefix = jax.lax.associative_scan(rot.quat_multiply, dq, axis=-2)
+    q0 = rot.matrix_to_quat(base_rotation(state.base))          # (4,)
+    quat = rot.quat_multiply(q0, prefix)
+
+    # World thrust direction = body z column of R(quat), elementwise.
+    w, x, y, z = jnp.moveaxis(quat, -1, 0)
+    z_world = jnp.stack(
+        [2.0 * (x * z + w * y), 2.0 * (y * z - w * x), 1.0 - 2.0 * (x * x + y * y)],
+        axis=-1,
+    )
+    acc = z_world * base_u[..., 0:1] / m - jnp.asarray([0.0, 0.0, 9.81], dtype)
+    vel = state.base.vel + jnp.cumsum(acc * dt, axis=-2)
+    pos = state.base.pos + jnp.cumsum(vel * dt, axis=-2)
+    return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
+
+
 def rollout(
     params: WholeBodyParams,
     state: WholeBodyState,
     actions: Array,
     dt: float,
-) -> Tuple[se3.Transform, Array, Array, "Multirotor12State"]:
+) -> Tuple["Pose", Array, Array, BaseTraj]:
     """Roll K sampled action sequences from one initial state.
 
     actions: (K, H, 4 + J) = [thrust, tau_xyz, qddot_1..J].
-    Returns (ee_poses (K, H), q (K, H, J), qdot (K, H, J), base trajectory
-    (leaves (K, H, ...))).
+    Returns (ee Pose (pos+quat over (K, H)), q (K, H, J), qdot (K, H, J),
+    BaseTraj).
     """
     spec = params.chain()
     inertials = params.inertials()
@@ -115,11 +236,6 @@ def rollout(
     # Arm joints: wide kinematic double integration (reference arm scheme).
     q, qdot = integrators.double_integrate(arm_u, state.q, state.qdot, dt)
 
-    # Base: sequential scan over the horizon, batched over K.
-    base0 = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (k,) + x.shape), state.base
-    )
-
     if params.couple_arm_gravity:
         # Quasi-static coupling: the arm is rigidly attached, so its *weight*
         # is already carried by the base's arm_mass_lump; what the lump model
@@ -128,32 +244,22 @@ def rollout(
         # gravity wrench (the reference's flight controller feeds forward the
         # same tau_g quantity, controller.cpp:541-560).  The wrench uses the
         # initial attitude (refreshing per step would put an RNEA inside the
-        # scan; the error is second-order in tilt).
+        # rollout recurrence; the error is second-order in tilt).
         r0 = base_rotation(state.base)
-        _, tau_b = arm_gravity_wrench(
-            spec, inertials, q.reshape(k * h, -1), jnp.broadcast_to(r0, (k * h, 3, 3))
-        )
-        tau_b = tau_b.reshape(k, h, 3)
+        tau_b = arm_gravity_torque_fast(spec, inertials, q, r0)
         base_u = jnp.concatenate(
             [base_u[..., 0:1], base_u[..., 1:4] + tau_b], axis=-1
         )
 
-    def step_fn(b, u_t):
-        nxt = step12(
-            params.vehicle, b, u_t, dt,
-            extra_mass=params.arm_mass_lump, drag_kd=params.drag_kd,
-        )
-        return nxt, nxt
+    base_fn = _base_rollout_parallel if params.time_parallel else _base_rollout_scan
+    base_traj = base_fn(params, state, base_u, dt, k)
 
-    _, base_traj = jax.lax.scan(
-        step_fn, base0, jnp.moveaxis(base_u, 1, 0)
-    )  # leaves (H, K, ...)
-    base_traj = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), base_traj)
-
-    # End-effector poses over the whole (K, H) block in one batched FK.
-    base_tf = se3.Transform(rot=base_rotation(base_traj), trans=base_traj.pos)
-    ee = chain_mod.forward_kinematics(spec, q, base=base_tf)
-    return ee, q, qdot, base_traj
+    # End-effector poses over the whole (K, H) block in one batched,
+    # matmul-free quaternion FK pass.
+    ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
+        spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+    )
+    return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
 
 
 def hover_nominal_action(

@@ -63,6 +63,56 @@ def orientation_error_norm(
     return jnp.linalg.norm(vec, axis=-1)
 
 
+def orientation_error_norm_quat(
+    ee_quat: Array, target_quat: Array, mode: str = "euler_zyx"
+) -> Array:
+    """Quaternion-path orientation error — identical metric to
+    :func:`orientation_error_norm` but with zero batched matmuls: the error
+    rotation is conj(q_ee) * q_target (elementwise), converted to the chosen
+    vector without any ``dot_general`` (TPU: tiny batched matmuls pad the MXU
+    catastrophically; see models/chain.forward_kinematics_posquat)."""
+    err_q = rot.quat_multiply(rot.quat_conjugate(ee_quat), target_quat)
+    if mode == "euler_zyx":
+        vec = rot.matrix_to_euler(rot.quat_to_matrix(err_q), "ZYX")
+    elif mode == "log":
+        vec = rot.quat_to_axis_angle(err_q)
+    else:
+        raise ValueError(f"unknown orientation error mode {mode!r}")
+    return jnp.linalg.norm(vec, axis=-1)
+
+
+def pose_stage_cost_pq(
+    ee_pos: Array,
+    ee_quat: Array,
+    target_pos: Array,
+    target_quat: Array,
+    w_pos: float,
+    w_ori: float,
+    ori_mode: str = "euler_zyx",
+) -> Array:
+    """Position+quaternion variant of :func:`pose_stage_cost`."""
+    dp = jnp.linalg.norm(ee_pos[..., :-1, :] - target_pos, axis=-1)
+    dori = orientation_error_norm_quat(
+        ee_quat[..., :-1, :], target_quat, ori_mode
+    )
+    return jnp.sum(w_pos * dp + w_ori * dori, axis=-1)
+
+
+def pose_terminal_cost_pq(
+    ee_pos: Array,
+    ee_quat: Array,
+    target_pos: Array,
+    target_quat: Array,
+    w_pos: float,
+    w_ori: float,
+    ori_mode: str = "euler_zyx",
+) -> Array:
+    """Position+quaternion variant of :func:`pose_terminal_cost`."""
+    dp = jnp.linalg.norm(ee_pos[..., -1, :] - target_pos, axis=-1)
+    dori = orientation_error_norm_quat(ee_quat[..., -1, :], target_quat, ori_mode)
+    return w_pos * dp + w_ori * dori
+
+
 def pose_stage_cost(
     ee_pos: Array,
     ee_rot: Array,

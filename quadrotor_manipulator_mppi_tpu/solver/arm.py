@@ -81,28 +81,38 @@ def make_arm_solver(
 
     def rollout(v: Array, obs: ArmObs):
         q_samples, v_samples = integrators.double_integrate(v, obs.q, obs.qdot, cfg.dt)
-        ee = chain_mod.forward_kinematics(
-            spec, q_samples, base=obs.base_pose.to_transform()
+        ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
+            spec, q_samples,
+            base_pos=obs.base_pose.position, base_quat=obs.base_pose.quat,
         )
-        return q_samples, v_samples, ee
+        return q_samples, v_samples, ee_pos, ee_quat
 
     def cost(aux, v: Array, u_prev: Array, obs: ArmObs) -> Array:
-        q_samples, v_samples, ee = aux
-        return costs_mod.arm_total_cost(
-            cp,
-            cfg.lam,
-            ee_pos=ee.trans,
-            ee_rot=ee.rot,
-            q_samples=q_samples,
-            v_samples=v_samples,
-            u_prev=u_prev,
-            sigma_inv=jnp.asarray(sigma_inv_np, v.dtype),
-            target_pos=obs.target.position,
-            target_rot=obs.target.rotation_matrix,
-            q_center=q_center,
-            q_lower=q_lower,
-            q_upper=q_upper,
+        q_samples, v_samples, ee_pos, ee_quat = aux
+        s = costs_mod.pose_stage_cost_pq(
+            ee_pos, ee_quat, obs.target.position, obs.target.quat,
+            cp.stage_pose_weight, cp.stage_orientation_weight, cp.ori_mode,
         )
+        s = s + costs_mod.pose_terminal_cost_pq(
+            ee_pos, ee_quat, obs.target.position, obs.target.quat,
+            cp.terminal_pose_weight, cp.terminal_orientation_weight, cp.ori_mode,
+        )
+        if cp.covar_weight:
+            s = s + costs_mod.covariance_cost(
+                u_prev, v, jnp.asarray(sigma_inv_np, v.dtype),
+                cp.covar_weight, cfg.lam, cp.alpha,
+            )
+        if cp.action_weight:
+            s = s + costs_mod.action_cost(v, cp.action_weight, cp.gamma)
+        if cp.centering_weight:
+            s = s + costs_mod.centering_cost(
+                q_samples, q_center, cp.centering_weight, cp.gamma
+            )
+        if cp.joint_limit_weight:
+            s = s + cp.joint_limit_weight * costs_mod.joint_limit_cost(
+                q_samples, q_lower, q_upper, cp.gamma
+            )
+        return s
 
     inner = make_step(cfg, rollout, cost, axis_name, n_local_samples)
 

@@ -114,13 +114,13 @@ def make_whole_body_solver(
     def cost_fn(aux, v: Array, u_prev: Array, obs: WholeBodyObs) -> Array:
         ee, q, qdot, base = aux
         target_pos = obs.ee_target.position
-        target_rot = obs.ee_target.rotation_matrix
-        s = costs_mod.pose_stage_cost(
-            ee.trans, ee.rot, target_pos, target_rot,
+        target_quat = obs.ee_target.quat
+        s = costs_mod.pose_stage_cost_pq(
+            ee.position, ee.quat, target_pos, target_quat,
             cp.stage_pose_weight, cp.stage_orientation_weight, cp.ori_mode,
         )
-        s = s + costs_mod.pose_terminal_cost(
-            ee.trans, ee.rot, target_pos, target_rot,
+        s = s + costs_mod.pose_terminal_cost_pq(
+            ee.position, ee.quat, target_pos, target_quat,
             cp.terminal_pose_weight, cp.terminal_orientation_weight, cp.ori_mode,
         )
         if cp.base_pos_weight:
@@ -128,10 +128,7 @@ def make_whole_body_solver(
                 base.pos, obs.base_target, cp.base_pos_weight / base.pos.shape[-2]
             )
         if cp.attitude_weight:
-            tilt = base.rpy[..., :2]
-            s = s + cp.attitude_weight * jnp.mean(
-                jnp.sum(tilt * tilt, axis=-1), axis=-1
-            )
+            s = s + cp.attitude_weight * jnp.mean(base.tilt_squared(), axis=-1)
         if cp.omega_weight:
             s = s + cp.omega_weight * jnp.mean(
                 jnp.sum(base.omega * base.omega, axis=-1), axis=-1
@@ -148,9 +145,9 @@ def make_whole_body_solver(
             )
         if has_obstacles:
             s = s + costs_mod.sphere_obstacle_cost(
-                ee.trans,
-                jnp.asarray(cp.obstacle_centers, ee.trans.dtype),
-                jnp.asarray(cp.obstacle_radii, ee.trans.dtype),
+                ee.position,
+                jnp.asarray(cp.obstacle_centers, ee.position.dtype),
+                jnp.asarray(cp.obstacle_radii, ee.position.dtype),
                 cp.obstacle_weight,
             )
         return s

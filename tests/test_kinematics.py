@@ -98,6 +98,45 @@ def test_fk_jits(spec, rng):
     )
 
 
+def test_posquat_fk_matches_matrix_fk(spec, rng):
+    """The matmul-free quaternion FK equals the matrix-chain FK."""
+    from quadrotor_manipulator_mppi_tpu.utils import rotations as rotlib
+
+    q = jnp.asarray(rng.uniform(-2, 2, size=(6, 4, 7)), jnp.float32)
+    pos_q, quat_q = chain_mod.forward_kinematics_posquat(spec, q)
+    ee = chain_mod.forward_kinematics(spec, q)
+    np.testing.assert_allclose(np.asarray(pos_q), np.asarray(ee.trans), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rotlib.quat_to_matrix(quat_q)), np.asarray(ee.rot), atol=1e-5
+    )
+    # With a base pose.
+    base_pos = jnp.asarray([0.3, -0.2, 2.1])
+    base_quat = rotlib.quat_normalize(jnp.asarray([0.9, 0.1, -0.2, 0.3]))
+    pos_b, quat_b = chain_mod.forward_kinematics_posquat(
+        spec, q, base_pos=base_pos, base_quat=base_quat
+    )
+    base_tf = se3.Transform(rot=rotlib.quat_to_matrix(base_quat), trans=base_pos)
+    ee_b = chain_mod.forward_kinematics(spec, q, base=base_tf)
+    np.testing.assert_allclose(np.asarray(pos_b), np.asarray(ee_b.trans), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rotlib.quat_to_matrix(quat_b)), np.asarray(ee_b.rot), atol=1e-5
+    )
+
+
+def test_posquat_fk_end_effector_tip(rng):
+    """Tip transform (fixed EE frame) handled in the quaternion path."""
+    from quadrotor_manipulator_mppi_tpu.utils import rotations as rotlib
+
+    hard = kinova.chain(tip="end_effector")
+    q = jnp.asarray(rng.uniform(-2, 2, size=(5, 7)), jnp.float32)
+    pos_q, quat_q = chain_mod.forward_kinematics_posquat(hard, q)
+    ee = chain_mod.forward_kinematics(hard, q)
+    np.testing.assert_allclose(np.asarray(pos_q), np.asarray(ee.trans), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rotlib.quat_to_matrix(quat_q)), np.asarray(ee.rot), atol=1e-5
+    )
+
+
 def test_urdf_loader_matches_hardcoded_spec(spec):
     loaded = urdf.Urdf.from_file(URDF_PATH).build_chain("world", "j2s7s300_link_7")
     np.testing.assert_allclose(loaded.origin_rot[1:], spec.origin_rot[1:], atol=1e-12)

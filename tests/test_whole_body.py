@@ -29,12 +29,44 @@ def test_rollout_shapes_and_finiteness():
         wbm.hover_nominal_action(params.model, h), (k, h, wbs.N_ACTIONS)
     )
     ee, q, qdot, base = wbm.rollout(params.model, obs.state, actions, 0.01)
-    assert ee.trans.shape == (k, h, 3)
-    assert ee.rot.shape == (k, h, 3, 3)
+    assert ee.position.shape == (k, h, 3)
+    assert ee.quat.shape == (k, h, 4)
     assert q.shape == (k, h, 7)
     assert base.pos.shape == (k, h, 3)
-    for leaf in (ee.trans, ee.rot, q, qdot, base.pos, base.rpy):
+    for leaf in (ee.position, ee.quat, q, qdot, base.pos, base.quat, base.vel):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_parallel_rollout_matches_scan_rollout():
+    """The associative-scan rollout equals the sequential euler-angle scan to
+    first order in dt (both are first-order integrators of the same ODE)."""
+    import dataclasses
+
+    obs = wbs.default_obs()
+    k, h, dt = 16, 40, 0.01
+    key = jax.random.key(3)
+    noise = jax.random.normal(key, (k, h, wbs.N_ACTIONS)) * jnp.asarray(
+        wbs.default_sigma(), jnp.float32
+    )
+    actions = wbm.hover_nominal_action(wbm.WholeBodyParams(), h)[None] + noise
+
+    p_par = wbm.WholeBodyParams(time_parallel=True)
+    p_seq = wbm.WholeBodyParams(time_parallel=False)
+    ee_p, q_p, _, base_p = wbm.rollout(p_par, obs.state, actions, dt)
+    ee_s, q_s, _, base_s = wbm.rollout(p_seq, obs.state, actions, dt)
+
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_s), atol=1e-5)
+    # Attitude discretizations differ at O(dt^2 * omega^2); over 0.4 s with
+    # torque noise they stay within millimeters/milliradians.
+    np.testing.assert_allclose(
+        np.asarray(base_p.pos), np.asarray(base_s.pos), atol=2e-2
+    )
+    # Quaternion sign canonicalization may differ; compare via dot product.
+    qd = np.abs(np.sum(np.asarray(base_p.quat) * np.asarray(base_s.quat), axis=-1))
+    assert qd.min() > 1 - 2e-4, f"quat mismatch: min dot {qd.min()}"
+    np.testing.assert_allclose(
+        np.asarray(ee_p.position), np.asarray(ee_s.position), atol=3e-2
+    )
 
 
 def test_hover_nominal_holds_altitude():
@@ -57,6 +89,28 @@ def test_arm_gravity_wrench_magnitude():
     f, tau = wbm.arm_gravity_wrench(spec, params, q, jnp.eye(3))
     total_w = float(np.sum(params.mass)) * 9.81
     np.testing.assert_allclose(np.linalg.norm(np.asarray(f)), total_w, rtol=1e-4)
+
+
+def test_fast_gravity_torque_matches_rnea_wrench(rng):
+    """The COM-moment shortcut equals the RNEA wrench torque, including under
+    a tilted base."""
+    from scipy.spatial.transform import Rotation as R
+
+    spec = kinova.chain()
+    params = kinova.inertials()
+    for _ in range(3):
+        q = jnp.asarray(rng.uniform(-1.5, 1.5, size=(4, 7)), jnp.float32)
+        base_rot = jnp.asarray(
+            R.from_euler("ZYX", rng.uniform(-0.5, 0.5, size=3)).as_matrix(),
+            jnp.float32,
+        )
+        _, tau_rnea = wbm.arm_gravity_wrench(
+            spec, params, q, jnp.broadcast_to(base_rot, (4, 3, 3))
+        )
+        tau_fast = wbm.arm_gravity_torque_fast(spec, params, q, base_rot)
+        np.testing.assert_allclose(
+            np.asarray(tau_fast), np.asarray(tau_rnea), rtol=1e-3, atol=1e-4
+        )
 
 
 def test_whole_body_solver_improves_ee_error():
