@@ -1,0 +1,93 @@
+"""QMM bridge wire protocol — Python side of ``native/include/qmm/bridge.hpp``.
+
+Length-prefixed little-endian frames replacing the reference's ROS-topic
+transport (SURVEY.md section 5 "distributed communication backend"):
+``[magic u32]["QMM1"][type u32][count u32][count * f32]``.
+
+Message types mirror the reference topic contract
+(``controller.cpp:165-180``); the robot_states payload mirrors its 14+13
+state vector layout (``controller.cpp:304-337``: base xyz, base quat in
+**xyzw** order, arm q(7); base v(6), arm qd(7)).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Iterator, List, Optional, Tuple
+
+MAGIC = 0x514D4D31  # "QMM1"
+_HEADER = struct.Struct("<III")
+
+
+class MsgType(IntEnum):
+    ROBOT_STATES = 1   # 27 floats
+    ROBOT_CMD = 2      # 7 floats (arm joint efforts)
+    DRONE_POSE = 3     # 3 floats (desired xyz)
+    MOTOR_SPEED = 4    # 8 floats
+    TELEOP_UAV = 5     # 1 float code
+    TELEOP_ARM = 6     # 1 float code
+    PING = 7
+    SHUTDOWN = 8
+
+
+@dataclass
+class Frame:
+    type: MsgType
+    payload: List[float]
+
+
+def encode(frame: Frame) -> bytes:
+    return _HEADER.pack(MAGIC, int(frame.type), len(frame.payload)) + struct.pack(
+        f"<{len(frame.payload)}f", *frame.payload
+    )
+
+
+class Decoder:
+    """Incremental frame decoder with byte-level resync (matches the C++)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+
+    def feed(self, data: bytes) -> None:
+        self._buf.extend(data)
+
+    def pop(self) -> Optional[Frame]:
+        buf = self._buf
+        while True:
+            if len(buf) < 12:
+                return None
+            magic, mtype, count = _HEADER.unpack_from(buf, 0)
+            if magic != MAGIC or count > 1 << 20:
+                del buf[0]
+                continue
+            total = 12 + 4 * count
+            if len(buf) < total:
+                return None
+            payload = list(struct.unpack_from(f"<{count}f", buf, 12))
+            del buf[:total]
+            return Frame(type=MsgType(mtype), payload=payload)
+
+    def frames(self) -> Iterator[Frame]:
+        while True:
+            f = self.pop()
+            if f is None:
+                return
+            yield f
+
+
+def split_robot_states(payload: List[float]) -> Tuple[list, list, list, list, list]:
+    """27-float robot_states -> (base_pos(3), base_quat_xyzw(4), q(7), base_v(6), qd(7)).
+
+    Same split the reference's update_joint applies (``mppi.py:196-200``:
+    q_full[:7] base pose, q_full[7:] arm; v_full[:6]/[6:]).
+    """
+    if len(payload) != 27:
+        raise ValueError(f"robot_states needs 27 floats, got {len(payload)}")
+    base_pos = payload[0:3]
+    base_quat_xyzw = payload[3:7]
+    q = payload[7:14]
+    base_v = payload[14:20]
+    qd = payload[20:27]
+    return base_pos, base_quat_xyzw, q, base_v, qd

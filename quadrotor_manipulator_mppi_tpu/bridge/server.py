@@ -1,0 +1,181 @@
+"""Solver bridge server: hosts the TPU MPPI solvers behind the QMM protocol.
+
+The runtime replacement for the reference's two Python ROS nodes
+(``kinova.py`` and ``drone.py``, SURVEY.md sections 3.3-3.4): a plant (the
+in-framework simulator, a Gazebo adapter, or a real vehicle) connects over
+TCP, streams ``ROBOT_STATES`` frames, and receives ``ROBOT_CMD`` (7 arm
+efforts) and ``DRONE_POSE`` (xyz setpoint) frames back — the exact topic
+contract of ``controller.cpp:165-180``.
+
+Solver state (warm starts, PRNG keys, the torque-tracking gains of
+``kinova.py:184``) stays device-resident between requests; only the 27-float
+state crosses the boundary in and 10 floats come back out (BASELINE.md's
+latency budget note).  Teleop frames from the native tools
+(``native/src/teleop_*.cpp``) adjust the targets.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import kinova, rigid_body as rb
+from ..solver import arm as arm_solver
+from ..solver import drone as drone_solver
+from ..utils.pose import Pose
+from . import protocol as proto
+
+TELEOP_STEP_M = 0.3          # uav_teleop_node nudge (+-0.3 m)
+TELEOP_STEP_JOINT = np.deg2rad(10.0)  # robot_teleop_node nudge
+
+
+@dataclass
+class SolverSession:
+    """Per-connection solver state: arm MPPI + drone MPPI + teleop targets."""
+
+    arm_params: arm_solver.ArmMPPIParams = field(default_factory=arm_solver.ArmMPPIParams)
+    drone_params: drone_solver.DroneMPPIParams = field(default_factory=drone_solver.DroneMPPIParams)
+    seed: int = 0
+
+    def __post_init__(self):
+        self._arm_step, arm_init = arm_solver.make_arm_solver(self.arm_params)
+        self._drone_step, drone_init = drone_solver.make_drone_solver(self.drone_params)
+        self._arm_step = jax.jit(self._arm_step)
+        self._drone_step = jax.jit(self._drone_step)
+        key = jax.random.key(self.seed)
+        ka, kd = jax.random.split(key)
+        self._arm_state = arm_init(ka)
+        self._drone_state = drone_init(kd)
+        self._spec = kinova.chain()
+        self._inertials = kinova.inertials()
+        self.ee_target = arm_solver.default_target()
+        self.drone_target = np.asarray(drone_solver.DEFAULT_TARGET, np.float32)
+        self.arm_nudge = np.zeros(7, np.float32)
+        self.land = False
+
+    def handle_states(self, payload) -> list:
+        """ROBOT_STATES -> [ROBOT_CMD frame, DRONE_POSE frame]."""
+        base_pos, base_quat_xyzw, q, base_v, qd = proto.split_robot_states(payload)
+        q = jnp.asarray(q, jnp.float32)
+        qd_j = jnp.asarray(qd, jnp.float32)
+        base_pose = Pose.from_xyzw(
+            jnp.asarray(base_pos, jnp.float32), jnp.asarray(base_quat_xyzw, jnp.float32)
+        )
+
+        # Arm MPPI solve + the reference's inertia-weighted tracking torque
+        # (kinova.py:184): tau = M (400 (qdes - q) - 40 qd) + nle.
+        obs = arm_solver.ArmObs(
+            q=q, qdot=qd_j, base_pose=base_pose, target=self.ee_target
+        )
+        out, self._arm_state = self._arm_step(self._arm_state, obs)
+        m = rb.mass_matrix(self._spec, self._inertials, q)
+        nle = rb.nonlinear_effects(
+            self._spec, self._inertials, q, qd_j, base_rot=base_pose.rotation_matrix
+        )
+        tau = m @ (400.0 * (out.qdes - q) - 40.0 * qd_j) + nle
+        tau_np = np.asarray(tau, np.float32)
+
+        # Drone MPPI setpoint (drone.py:239-241 contract: position only).
+        dobs = drone_solver.DroneObs(
+            x=jnp.asarray(base_pos, jnp.float32),
+            v=jnp.asarray(base_v[:3], jnp.float32),
+            target=jnp.asarray(self.drone_target),
+        )
+        dout, self._drone_state = self._drone_step(self._drone_state, dobs)
+        xdes = np.asarray(dout.xdes, np.float32)
+
+        return [
+            proto.Frame(proto.MsgType.ROBOT_CMD, [float(t) for t in tau_np]),
+            proto.Frame(proto.MsgType.DRONE_POSE, [float(x) for x in xdes]),
+        ]
+
+    def handle_teleop_uav(self, code: int) -> None:
+        """Reference gear_callback code table (controller.cpp:741-809)."""
+        step = TELEOP_STEP_M
+        if code == 1:
+            self.drone_target[0] += step
+        elif code == 2:
+            self.drone_target[0] -= step
+        elif code == 3:
+            self.drone_target[1] += step
+        elif code == 4:
+            self.drone_target[1] -= step
+        elif code == 5:
+            self.drone_target[2] += step
+        elif code == 6:
+            self.drone_target[2] -= step
+        elif code == 9:
+            self.land = True
+
+    def handle_teleop_arm(self, code: int) -> None:
+        """Reference kinova_callback codes: odd/even pairs nudge joint
+        +-10 deg (applied plant-side in the reference, controller.cpp:813+;
+        here accumulated for plant adapters to consume).  Codes 15/16 =
+        gripper close/open."""
+        if 1 <= code <= 14:
+            joint = (code + 1) // 2 - 1
+            sign = 1.0 if code % 2 == 1 else -1.0
+            self.arm_nudge[joint] += sign * TELEOP_STEP_JOINT
+
+
+class BridgeServer:
+    """Threaded TCP server; one SolverSession per connection."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 session_factory: Optional[Callable[[], SolverSession]] = None):
+        self._sock = socket.create_server((host, port))
+        self.host, self.port = self._sock.getsockname()
+        self._factory = session_factory or SolverSession
+        self._threads = []
+        self._stop = threading.Event()
+
+    def serve_forever(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._handle, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def start(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _handle(self, conn: socket.socket) -> None:
+        session = self._factory()
+        decoder = proto.Decoder()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        with conn:
+            while True:
+                data = conn.recv(4096)
+                if not data:
+                    return
+                decoder.feed(data)
+                for frame in decoder.frames():
+                    if frame.type == proto.MsgType.SHUTDOWN:
+                        return
+                    elif frame.type == proto.MsgType.ROBOT_STATES:
+                        for reply in session.handle_states(frame.payload):
+                            conn.sendall(proto.encode(reply))
+                    elif frame.type == proto.MsgType.TELEOP_UAV:
+                        session.handle_teleop_uav(int(frame.payload[0]))
+                    elif frame.type == proto.MsgType.TELEOP_ARM:
+                        session.handle_teleop_arm(int(frame.payload[0]))
+                    elif frame.type == proto.MsgType.PING:
+                        conn.sendall(proto.encode(proto.Frame(proto.MsgType.PING, [])))

@@ -1,0 +1,118 @@
+"""Native C++ bridge <-> Python solver server integration.
+
+Builds the native tools with CMake (cached build dir under native/build),
+starts the BridgeServer hosting real (small) MPPI solvers, runs the C++
+round-trip client, and checks the reference topic contract end to end.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from quadrotor_manipulator_mppi_tpu.bridge import protocol as proto
+from quadrotor_manipulator_mppi_tpu.bridge.server import BridgeServer, SolverSession
+from quadrotor_manipulator_mppi_tpu.solver import arm as arm_solver
+from quadrotor_manipulator_mppi_tpu.solver import drone as drone_solver
+from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+BUILD = os.path.join(NATIVE, "build")
+
+
+def small_session():
+    return SolverSession(
+        arm_params=arm_solver.ArmMPPIParams(
+            mppi=MPPIConfig(n_samples=32, n_horizon=8, n_action=7, dt=0.01,
+                            lam=0.1, sigma=0.1, savgol_window=5)
+        ),
+        drone_params=drone_solver.DroneMPPIParams(
+            mppi=MPPIConfig(n_samples=32, n_horizon=8, n_action=3, dt=0.01,
+                            lam=0.1, sigma=30.0, savgol_window=5)
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def native_build():
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    os.makedirs(BUILD, exist_ok=True)
+    subprocess.run(
+        ["cmake", "-S", NATIVE, "-B", BUILD, "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", BUILD, "-j", "4"], check=True, capture_output=True
+    )
+    return BUILD
+
+
+def test_protocol_roundtrip_python():
+    f = proto.Frame(proto.MsgType.ROBOT_STATES, [float(i) for i in range(27)])
+    d = proto.Decoder()
+    blob = proto.encode(f)
+    # Feed with garbage prefix to exercise resync, and split the stream.
+    d.feed(b"\x00\x01junk")
+    d.feed(blob[:10])
+    assert d.pop() is None
+    d.feed(blob[10:])
+    out = d.pop()
+    assert out is not None
+    assert out.type == proto.MsgType.ROBOT_STATES
+    np.testing.assert_allclose(out.payload, f.payload)
+
+
+def test_split_robot_states_layout():
+    payload = list(range(27))
+    bp, bq, q, bv, qd = proto.split_robot_states([float(x) for x in payload])
+    assert bp == [0.0, 1.0, 2.0]
+    assert bq == [3.0, 4.0, 5.0, 6.0]
+    assert q[0] == 7.0 and len(q) == 7
+    assert bv[0] == 14.0 and len(bv) == 6
+    assert qd[0] == 20.0 and len(qd) == 7
+
+
+def test_native_roundtrip(native_build):
+    server = BridgeServer(session_factory=small_session)
+    server.start()
+    try:
+        out = subprocess.run(
+            [os.path.join(native_build, "qmm_roundtrip_test"),
+             server.host, str(server.port)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+        assert "robot_cmd:" in out.stdout
+        assert "drone_pose:" in out.stdout
+        # Torques are finite, plausible magnitudes (gravity-dominated arm).
+        cmd_line = [l for l in out.stdout.splitlines() if l.startswith("robot_cmd:")][0]
+        taus = [float(x) for x in cmd_line.split()[1:]]
+        assert len(taus) == 7
+        assert all(abs(t) < 200 for t in taus)
+        assert any(abs(t) > 1e-3 for t in taus)
+    finally:
+        server.stop()
+
+
+def test_python_client_session():
+    """Drive the session directly (no sockets): teleop nudges move targets."""
+    s = small_session()
+    state = [0.0] * 27
+    state[2] = 2.1
+    state[6] = 1.0
+    replies = s.handle_states(state)
+    assert replies[0].type == proto.MsgType.ROBOT_CMD
+    assert replies[1].type == proto.MsgType.DRONE_POSE
+    t0 = s.drone_target.copy()
+    s.handle_teleop_uav(1)
+    assert s.drone_target[0] == pytest.approx(t0[0] + 0.3)
+    s.handle_teleop_uav(9)
+    assert s.land
+    s.handle_teleop_arm(1)
+    assert s.arm_nudge[0] == pytest.approx(np.deg2rad(10))
+    s.handle_teleop_arm(2)
+    assert s.arm_nudge[0] == pytest.approx(0.0, abs=1e-6)
