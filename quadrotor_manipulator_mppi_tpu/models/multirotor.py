@@ -54,6 +54,10 @@ class MultirotorParams:
     time_constant_down: float = 0.025
     rotor_drag_coefficient: float = 8.06428e-5
     rolling_moment_coefficient: float = 1e-6
+    # Ground plane height (plant-only; the landing state machine cuts motors
+    # below 0.5 m, controller.cpp:271-278, and Gazebo's ground catches the
+    # vehicle — this is the free-flight-model analog of that contact).
+    ground_z: float = 0.0
     # Allocation sign rows (roll, pitch, yaw) per rotor — controller.cpp:639-652.
     roll_signs: tuple = (-1, 1, 1, -1, -1, 1, 1, -1)
     pitch_signs: tuple = (-1, -1, 1, 1, -1, -1, 1, 1)
@@ -180,6 +184,18 @@ def step(
     vel = state.vel + acc * dt
     pos = state.pos + vel * dt
     omega = state.omega + omega_dot * dt
+
+    # Inelastic ground contact: clamp to the plane, kill downward velocity
+    # and spin (a stand-in for Gazebo's ground collision during landing).
+    on_ground = pos[..., 2] <= params.ground_z
+    pos = pos.at[..., 2].set(jnp.maximum(pos[..., 2], params.ground_z))
+    grounded_vel = jnp.stack(
+        [jnp.zeros_like(vel[..., 0]), jnp.zeros_like(vel[..., 1]),
+         jnp.maximum(vel[..., 2], 0.0)], axis=-1
+    )
+    vel = jnp.where(on_ground[..., None], grounded_vel, vel)
+    omega = jnp.where(on_ground[..., None], 0.0, omega)
+
     dq = rot.quat_from_axis_angle(omega * dt)
     quat = rot.quat_normalize(rot.quat_multiply(state.quat, dq))
 

@@ -1,0 +1,271 @@
+"""Scenario runner CLI — the framework's ``roslaunch + python node`` analog.
+
+The reference runs a scenario by launching Gazebo and one of the MPPI nodes
+(``README.md:14-22``: roslaunch aerial_manipulation aerial_manipulator +
+python3 kinova.py).  Here one command runs the whole closed loop on device
+and prints metrics JSON:
+
+    python -m quadrotor_manipulator_mppi_tpu.run drone-waypoint
+    python -m quadrotor_manipulator_mppi_tpu.run arm-reach --steps 800
+    python -m quadrotor_manipulator_mppi_tpu.run whole-body --steps 300
+    python -m quadrotor_manipulator_mppi_tpu.run hover --controller lee
+    python -m quadrotor_manipulator_mppi_tpu.run mission
+
+Options: --steps N, --seed S, --controller {pid,backstepping,lee},
+--save-log PATH (.npz trajectory dump), --checkpoint PATH (solver state).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _finish(name, metrics, log_arrays, args):
+    if args.save_log:
+        np.savez(args.save_log, **log_arrays)
+        metrics["log"] = args.save_log
+    print(json.dumps({"scenario": name, **metrics}))
+
+
+def run_drone_waypoint(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .evaluation import metrics as metrics_mod
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc
+    from .solver import drone as drone_solver
+
+    veh = mr.MultirotorParams()
+    target = jnp.asarray(drone_solver.DEFAULT_TARGET)
+    step, init = drone_solver.make_drone_solver()
+    cfg = cl.LoopConfig(controller=args.controller if args.controller != "lee" else "backstepping")
+    run = cl.make_episode(
+        cfg, veh,
+        fc.SIM_TUNED_GAINS if cfg.controller == "pid" else fc.FlightGains(),
+        solver_step=step,
+        make_obs=lambda p: drone_solver.DroneObs(x=p.pos, v=p.vel, target=target),
+        setpoint_of=lambda out, p: fc.hover_setpoint(out.xdes),
+        n_control_steps=args.steps,
+    )
+    state0 = cl.init_loop_state(cfg, veh, init(jax.random.key(args.seed)), pos=(0, 0, 2.0))
+    _, (pos, rpy, vel) = jax.jit(run)(state0)
+    pos = np.asarray(pos)
+    err = np.linalg.norm(pos - np.asarray(target), axis=-1)
+    reach_t = metrics_mod.waypoint_response(jnp.asarray(pos), target, dt=0.01, radius=0.5)
+    _finish(
+        "drone-waypoint",
+        {
+            "min_err_m": round(float(err.min()), 4),
+            "final_err_m": round(float(err[-1]), 4),
+            "response_time_s": round(float(reach_t), 2),
+        },
+        {"pos": pos, "rpy": np.asarray(rpy), "vel": np.asarray(vel)},
+        args,
+    )
+
+
+def run_arm_reach(args):
+    import jax
+
+    from .sim import arm_loop
+    from .solver import arm as arm_solver
+
+    params = arm_solver.ArmMPPIParams()
+    _, solver_init = arm_solver.make_arm_solver(params)
+    run = arm_loop.make_arm_episode(params=params, n_control_steps=args.steps)
+    state0 = arm_loop.init_arm_loop(solver_init(jax.random.key(args.seed)))
+    final, (q_log, err_log, tau_log) = jax.jit(run)(state0)
+    err = np.asarray(err_log)
+    _finish(
+        "arm-reach",
+        {
+            "phase2": bool(final.phase2),
+            "min_ee_err_m": round(float(err.min()), 4),
+            "final_ee_err_m": round(float(err[-1]), 4),
+        },
+        {"q": np.asarray(q_log), "ee_err": err, "tau": np.asarray(tau_log)},
+        args,
+    )
+
+
+def run_whole_body(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.multirotor import step12
+    from .models.whole_body import WholeBodyState
+    from .solver import whole_body as wbs
+
+    step, init = wbs.make_whole_body_solver()
+    obs0 = wbs.default_obs()
+    spec = wbs.WholeBodyMPPIParams().model.chain()
+
+    from .models import chain as chain_mod
+    from .models.whole_body import base_rotation
+    from .utils import se3
+
+    def ee_err(state):
+        base_tf = se3.Transform(rot=base_rotation(state.base), trans=state.base.pos)
+        ee = chain_mod.forward_kinematics(spec, state.q, base=base_tf)
+        return jnp.linalg.norm(ee.trans - obs0.ee_target.position)
+
+    def body(carry, _):
+        state, solver = carry
+        obs = wbs.WholeBodyObs(state=state, ee_target=obs0.ee_target,
+                               base_target=obs0.base_target)
+        out, solver = step(solver, obs)
+        base = step12(wbs.WholeBodyMPPIParams().model.vehicle, state.base,
+                      out.action[:4], 0.01, extra_mass=5.54)
+        qdot = state.qdot + out.action[4:] * 0.01
+        q = state.q + state.qdot * 0.01 + 0.5 * out.action[4:] * 1e-4
+        state = WholeBodyState(base=base, q=q, qdot=qdot)
+        return (state, solver), (ee_err(state), state.base.pos)
+
+    run = jax.jit(lambda c0: jax.lax.scan(body, c0, None, length=args.steps)[1])
+    errs, base_pos = run((obs0.state, init(jax.random.key(args.seed))))
+    errs = np.asarray(errs)
+    _finish(
+        "whole-body",
+        {
+            "initial_ee_err_m": round(float(errs[0]), 4),
+            "min_ee_err_m": round(float(errs.min()), 4),
+            "final_ee_err_m": round(float(errs[-1]), 4),
+            "base_alt_final_m": round(float(np.asarray(base_pos)[-1, 2]), 3),
+        },
+        {"ee_err": errs, "base_pos": np.asarray(base_pos)},
+        args,
+    )
+
+
+def run_hover(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .evaluation import metrics as metrics_mod
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc
+    from .sim import lee_controller as lee
+
+    veh = mr.MultirotorParams()
+    target = jnp.asarray([0.0, 0.0, 2.0])
+    plant0 = mr.init_state(veh, pos=(0.2, -0.2, 1.8))
+    plant0 = plant0._replace(rotor_speed=jnp.full((8,), veh.hover_rotor_speed()))
+
+    if args.controller == "lee":
+        gains = lee.LeeGains()
+        sp = lee.LeeSetpoint(target)
+
+        def tick(plant, _):
+            u = lee.lee_control(gains, veh, sp, pos=plant.pos,
+                                vel_world=plant.vel, quat=plant.quat,
+                                omega_body=plant.omega)
+            plant = mr.step(veh, plant, fc.allocate(veh, u), 0.001)
+            return plant, (plant.pos, plant.omega)
+
+        run = jax.jit(lambda p: jax.lax.scan(tick, p, None, length=args.steps * 10))
+        _, (pos, omega) = run(plant0)
+    else:
+        law = fc.pid_step if args.controller == "pid" else fc.backstepping_step
+        gains = fc.SIM_TUNED_GAINS if args.controller == "pid" else fc.FlightGains()
+        ctrl0 = fc.init_ctrl_state(veh.mass)
+        sp = fc.hover_setpoint(target)
+
+        def tick(carry, _):
+            plant, c = carry
+            u, c = law(gains, veh, c, sp, pos=plant.pos, vel_world=plant.vel,
+                       rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=0.001)
+            plant = mr.step(veh, plant, fc.allocate(veh, u), 0.001)
+            return (plant, c), (plant.pos, plant.omega)
+
+        run = jax.jit(lambda c0: jax.lax.scan(tick, c0, None, length=args.steps * 10))
+        _, (pos, omega) = run((plant0, ctrl0))
+
+    m = metrics_mod.hover_metrics(
+        jnp.asarray(pos), jnp.asarray(omega), target, dt=0.001
+    )
+    _finish(
+        "hover",
+        {
+            "controller": args.controller,
+            "pos_rms_m": round(float(m.pos_rms), 4),
+            "ang_rate_rms": round(float(m.ang_rate_rms), 4),
+            "settling_time_s": round(float(m.settling_time), 2),
+            "passed": bool(m.passed),
+        },
+        {"pos": np.asarray(pos), "omega": np.asarray(omega)},
+        args,
+    )
+
+
+def run_mission(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc, scenario
+
+    veh = mr.MultirotorParams()
+    cfg = scenario.MissionConfig()
+    gains = fc.FlightGains()
+
+    def tick(carry, t):
+        plant, ctrl, mission = carry
+        mission = mission._replace(
+            land_cmd=mission.land_cmd | (t > args.steps * 10 * 3 // 5)
+        )
+        mission, sp, motors_on = scenario.mission_step(
+            cfg, mission, plant.pos, plant.vel, 0.001
+        )
+        u, ctrl = fc.backstepping_step(
+            gains, veh, ctrl, sp, pos=plant.pos, vel_world=plant.vel,
+            rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=0.001,
+        )
+        plant = mr.step(veh, plant, fc.allocate(veh, u) * motors_on, 0.001)
+        return (plant, ctrl, mission), (plant.pos[2], mission.phase)
+
+    plant0 = mr.init_state(veh, pos=(0.0, 0.0, 0.1))
+    run = jax.jit(lambda c0: jax.lax.scan(tick, c0, jnp.arange(args.steps * 10)))
+    (plant, _, mission), (z, phase) = run(
+        (plant0, fc.init_ctrl_state(veh.mass), scenario.init_mission())
+    )
+    _finish(
+        "mission",
+        {
+            "max_alt_m": round(float(np.asarray(z).max()), 3),
+            "final_alt_m": round(float(np.asarray(z)[-1]), 3),
+            "final_phase": int(mission.phase),
+            "landed": int(mission.phase) == scenario.LANDED,
+        },
+        {"z": np.asarray(z), "phase": np.asarray(phase)},
+        args,
+    )
+
+
+SCENARIOS = {
+    "drone-waypoint": run_drone_waypoint,
+    "arm-reach": run_arm_reach,
+    "whole-body": run_whole_body,
+    "hover": run_hover,
+    "mission": run_mission,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="quadrotor_manipulator_mppi_tpu.run")
+    p.add_argument("scenario", choices=sorted(SCENARIOS))
+    p.add_argument("--steps", type=int, default=1000, help="control steps (100 Hz)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--controller", default="backstepping",
+                   choices=["pid", "backstepping", "lee"])
+    p.add_argument("--save-log", default=None)
+    args = p.parse_args(argv)
+    SCENARIOS[args.scenario](args)
+
+
+if __name__ == "__main__":
+    main()
