@@ -24,6 +24,7 @@ saturated (SURVEY.md section 5 long-context note).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -53,10 +54,30 @@ class WholeBodyParams:
     arm_mass_lump: float = 5.54   # plant adds this with the arm (controller.cpp:159-161)
     couple_arm_gravity: bool = True
     drag_kd: float = 0.0
+    # Action-space mode:
+    #   "wrench"   — MPPI samples [thrust, tau_xyz, qddot x7] directly
+    #                (pure direct whole-body control; fragile against plant
+    #                mismatch in closed loop — research mode);
+    #   "attitude" — MPPI samples [thrust, roll/pitch/yaw setpoints,
+    #                qddot x7]; a PD attitude loop (gains below, mirrored on
+    #                the plant side) closes attitude inside the rollout.
+    #                The PD-closed attitude dynamics are LINEAR, so the
+    #                rollout realizes them with precomputed (H, H)
+    #                convolution matrices — still fully parallel-in-time.
+    control_mode: str = "attitude"
+    att_kp_rp: float = 100.0   # roll/pitch PD (omega_n ~ 10 rad/s)
+    att_kd_rp: float = 18.0
+    att_kp_yaw: float = 20.0
+    att_kd_yaw: float = 9.0
     # Parallel-in-time rollout (quaternion associative scan) vs sequential
     # euler-angle lax.scan.  Same physics to first order; the parallel path
     # turns the horizon axis into log-depth prefix ops (see rollout_parallel).
     time_parallel: bool = True
+    # First-order actuator-lag time constant modeled in the rollout (the
+    # plant's rotors filter commands with tau_up/down = 0.0125/0.025,
+    # gazebo_motor_model.cpp; 0 disables).  Applied as a precomputed
+    # discrete-convolution matrix along H — parallel-in-time friendly.
+    rotor_lag_tau: float = 0.02
 
     def chain(self) -> ChainSpec:
         return kinova.chain(self.arm_tip)
@@ -214,6 +235,122 @@ def _base_rollout_parallel(
     return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
 
 
+def _rotor_lag_matrix(h: int, dt: float, tau: float) -> np.ndarray:
+    """(H, H) lower-triangular convolution realizing the discrete first-order
+    lag y_t = alpha y_{t-1} + (1-alpha) u_t with y_0 primed at u_0 (the plant
+    holds the current wrench when a solve starts)."""
+    alpha = float(np.exp(-dt / tau))
+    f = np.zeros((h, h))
+    for t in range(h):
+        for s in range(t + 1):
+            f[t, s] = (1.0 - alpha) * alpha ** (t - s)
+        f[t, 0] += alpha ** (t + 1)  # initial-condition weight folded onto u_0
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _attitude_response_matrices(h: int, dt: float, kp: float, kd: float):
+    """Discrete closed-loop attitude response under the PD law
+    omega' = omega + dt (kp (u - phi) - kd omega); phi' = phi + dt omega'.
+
+    Linear system x' = A x + B u with x = (phi, omega).  Returns
+    (g_phi (H, H), g_omega (H, H), hom (H, 2, 2)): the input-convolution
+    matrices for the phi and omega trajectories and the homogeneous
+    propagator of the initial state (phi_t row 0, omega_t row 1).
+    """
+    a = np.array([[1.0 - dt * dt * kp, dt * (1.0 - dt * kd)],
+                  [-dt * kp, 1.0 - dt * kd]])
+    b = np.array([dt * dt * kp, dt * kp])
+    g_phi = np.zeros((h, h))
+    g_omega = np.zeros((h, h))
+    hom = np.zeros((h, 2, 2))
+    a_pow = np.eye(2)
+    # x_t = A^{t+1} x_0 + sum_{s<=t} A^{t-s} B u_s
+    pows = [np.eye(2)]
+    for _ in range(h):
+        pows.append(a @ pows[-1])
+    for t in range(h):
+        hom[t] = pows[t + 1]
+        for s in range(t + 1):
+            ab = pows[t - s] @ b
+            g_phi[t, s] = ab[0]
+            g_omega[t, s] = ab[1]
+    return g_phi, g_omega, hom
+
+
+def _quat_from_rpy(rpy: Array) -> Array:
+    """Elementwise euler (roll, pitch, yaw) -> wxyz quaternion
+    (qz(yaw) x qy(pitch) x qx(roll)) — no matrices, VPU-only."""
+    half = 0.5 * rpy
+    cr, sr = jnp.cos(half[..., 0]), jnp.sin(half[..., 0])
+    cp, sp = jnp.cos(half[..., 1]), jnp.sin(half[..., 1])
+    cy, sy = jnp.cos(half[..., 2]), jnp.sin(half[..., 2])
+    return jnp.stack(
+        [
+            cy * cp * cr + sy * sp * sr,
+            cy * cp * sr - sy * sp * cr,
+            cy * sp * cr + sy * cp * sr,
+            sy * cp * cr - cy * sp * sr,
+        ],
+        axis=-1,
+    )
+
+
+def _base_rollout_attitude(
+    params: WholeBodyParams, state: WholeBodyState, base_u: Array, dt: float, k: int
+) -> BaseTraj:
+    """Attitude-setpoint rollout: base_u = (K, H, 4) = [thrust, rpy_des].
+
+    The PD-closed attitude loop is linear per axis, so the whole attitude
+    trajectory is two (H, H) matmuls + the homogeneous initial-state term;
+    velocities/positions follow as cumsums.  Fully parallel-in-time.
+    """
+    dtype = base_u.dtype
+    h = base_u.shape[1]
+    m = params.vehicle.mass + params.arm_mass_lump
+
+    g_rp, go_rp, hom_rp = _attitude_response_matrices(
+        h, dt, params.att_kp_rp, params.att_kd_rp
+    )
+    g_y, go_y, hom_y = _attitude_response_matrices(
+        h, dt, params.att_kp_yaw, params.att_kd_yaw
+    )
+
+    rpy0 = state.base.rpy          # (3,)
+    om0 = state.base.omega         # (3,) treated as euler rates (small tilt)
+    rpy_des = base_u[..., 1:4]     # (K, H, 3)
+
+    def axis_traj(g, go, hom, i):
+        u = rpy_des[..., i]                         # (K, H)
+        gphi = jnp.asarray(g, dtype)
+        gom = jnp.asarray(go, dtype)
+        homj = jnp.asarray(hom, dtype)              # (H, 2, 2)
+        x0 = jnp.stack([rpy0[i], om0[i]])           # (2,)
+        hom_traj = jnp.einsum("hij,j->hi", homj, x0)  # (H, 2)
+        phi = jnp.einsum("ts,ks->kt", gphi, u) + hom_traj[:, 0]
+        om = jnp.einsum("ts,ks->kt", gom, u) + hom_traj[:, 1]
+        return phi, om
+
+    roll, om_r = axis_traj(g_rp, go_rp, hom_rp, 0)
+    pitch, om_p = axis_traj(g_rp, go_rp, hom_rp, 1)
+    yaw, om_yw = axis_traj(g_y, go_y, hom_y, 2)
+    rpy = jnp.stack([roll, pitch, yaw], axis=-1)
+    omega = jnp.stack([om_r, om_p, om_yw], axis=-1)
+
+    quat = _quat_from_rpy(rpy)
+    w, x, y, z = jnp.moveaxis(quat, -1, 0)
+    z_world = jnp.stack(
+        [2.0 * (x * z + w * y), 2.0 * (y * z - w * x), 1.0 - 2.0 * (x * x + y * y)],
+        axis=-1,
+    )
+    acc = z_world * base_u[..., 0:1] / m - jnp.asarray([0.0, 0.0, 9.81], dtype)
+    if params.drag_kd:
+        raise NotImplementedError("drag_kd > 0 unsupported in attitude mode")
+    vel = state.base.vel + jnp.cumsum(acc * dt, axis=-2)
+    pos = state.base.pos + jnp.cumsum(vel * dt, axis=-2)
+    return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
+
+
 def rollout(
     params: WholeBodyParams,
     state: WholeBodyState,
@@ -235,6 +372,33 @@ def rollout(
 
     # Arm joints: wide kinematic double integration (reference arm scheme).
     q, qdot = integrators.double_integrate(arm_u, state.q, state.qdot, dt)
+
+    if params.control_mode == "attitude":
+        # Thrust passes through the actuator lag; attitude setpoints are
+        # tracked by the (modeled) plant-side PD, and the arm gravity moment
+        # is a disturbance that PD rejects — no torque coupling needed.
+        if params.rotor_lag_tau > 0.0:
+            f = jnp.asarray(
+                _rotor_lag_matrix(h, dt, params.rotor_lag_tau), base_u.dtype
+            )
+            base_u = jnp.concatenate(
+                [jnp.einsum("ts,ks->kt", f, base_u[..., 0])[..., None],
+                 base_u[..., 1:4]],
+                axis=-1,
+            )
+        base_traj = _base_rollout_attitude(params, state, base_u, dt, k)
+        ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
+            spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+        )
+        return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
+
+    # Actuator lag applies to the commanded wrench only — before the arm
+    # gravity moment (not actuator-mediated) couples in.
+    if params.rotor_lag_tau > 0.0:
+        f = jnp.asarray(
+            _rotor_lag_matrix(h, dt, params.rotor_lag_tau), base_u.dtype
+        )
+        base_u = jnp.einsum("ts,ksa->kta", f, base_u)
 
     if params.couple_arm_gravity:
         # Quasi-static coupling: the arm is rigidly attached, so its *weight*

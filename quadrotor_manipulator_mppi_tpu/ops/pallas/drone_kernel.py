@@ -20,6 +20,13 @@ sampler is Box-Muller over 24-bit uniforms from ``pltpu.prng_random_bits``
 — a different stream than ``jax.random.normal``, so this backend is
 validated distributionally and behaviorally (reaches the same targets),
 not bit-for-bit against the XLA path.
+
+KNOWN ISSUE (axon v5e runtime, jax 0.9): the in-kernel PRNG variant
+(``noise=None``) produced NaN/nondeterministic results and a minimal
+``prng_seed``+``prng_random_bits`` repro kernel faulted the TPU worker
+process.  Until root-caused, production callers should pass explicit
+``noise`` (the pipeline itself is validated against the XLA path); the
+PRNG path is kept for investigation and works in no known-good runtime yet.
 """
 
 from __future__ import annotations

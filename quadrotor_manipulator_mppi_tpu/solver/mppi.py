@@ -60,6 +60,14 @@ class MPPIConfig:
     u_min: Optional[Any] = None   # per-action clamp (drone defines +-10,
     u_max: Optional[Any] = None   # disabled — drone_mppi.py:132-138,163)
     zero_mean_noise: bool = False
+    # Warm-start reversion: u_prev <- nominal + decay * (u - nominal).
+    # 1.0 = the reference behavior (keep the plan verbatim).  Values < 1 leak
+    # the plan back toward ``nominal_action`` between solves, preventing the
+    # accumulated-noise random walk that destabilizes station-keeping tasks
+    # (the plan is re-derived every 10 ms anyway; old information should
+    # decay on the same timescale the state changes).
+    warm_start_decay: float = 1.0
+    nominal_action: Optional[Any] = None  # (A,) or (H, A); default zeros
 
 
 class MPPIState(NamedTuple):
@@ -119,6 +127,15 @@ def make_step(
             warm = jnp.concatenate([u[1:], u[-1:]], axis=0)
         else:
             warm = u
+        if config.warm_start_decay < 1.0:
+            nominal = (
+                jnp.zeros_like(warm)
+                if config.nominal_action is None
+                else jnp.broadcast_to(
+                    jnp.asarray(config.nominal_action, warm.dtype), warm.shape
+                )
+            )
+            warm = nominal + config.warm_start_decay * (warm - nominal)
         return u, MPPIState(u_prev=warm, key=key)
 
     return step

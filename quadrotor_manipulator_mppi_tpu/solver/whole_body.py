@@ -36,7 +36,14 @@ N_ACTIONS = N_BASE_ACTIONS + kinova.N_JOINTS  # 11
 
 
 def default_sigma() -> np.ndarray:
-    """Per-action exploration scales: [thrust N, torque N*m x3, qddot x7]."""
+    """Per-action exploration scales for the default ("attitude") mode:
+    [thrust N, roll/pitch/yaw setpoint rad, qddot x7]."""
+    return np.asarray([30.0, 0.15, 0.15, 0.1] + [1.0] * kinova.N_JOINTS)
+
+
+def wrench_sigma() -> np.ndarray:
+    """Exploration scales for the direct-wrench research mode:
+    [thrust N, torque N*m x3, qddot x7]."""
     return np.asarray([30.0, 3.0, 3.0, 1.0] + [1.0] * kinova.N_JOINTS)
 
 
@@ -44,16 +51,18 @@ def default_sigma() -> np.ndarray:
 class WholeBodyCostParams:
     """EE pose weights follow the reference arm stack (cost_manager.py:30-43);
     the base-regularization terms are new (the reference has no whole-body
-    solver to take them from)."""
+    solver to take them from) and tuned for closed-loop station-keeping:
+    weak base costs let the solver trade the base away for transient EE
+    progress and then drift."""
 
     stage_pose_weight: float = 50.0
     stage_orientation_weight: float = 30.0
     terminal_pose_weight: float = 40.0
     terminal_orientation_weight: float = 30.0
-    base_pos_weight: float = 20.0       # keep the base near its setpoint
-    attitude_weight: float = 50.0       # roll/pitch upright regularization
-    omega_weight: float = 1.0
-    vel_weight: float = 1.0
+    base_pos_weight: float = 100.0      # keep the base near its setpoint
+    attitude_weight: float = 200.0      # roll/pitch upright regularization
+    omega_weight: float = 5.0
+    vel_weight: float = 40.0
     action_weight: float = 0.0
     joint_limit_weight: float = 1.0
     gamma: float = 0.98
@@ -61,6 +70,23 @@ class WholeBodyCostParams:
     obstacle_weight: float = 0.0
     obstacle_centers: tuple = ()        # ((x, y, z), ...)
     obstacle_radii: tuple = ()
+
+
+def default_nominal_action() -> np.ndarray:
+    """Hover nominal for warm-start reversion: gravity-balancing thrust,
+    level attitude, zero joint accelerations."""
+    nominal = np.zeros(N_ACTIONS)
+    p = WholeBodyParams()
+    nominal[0] = (p.vehicle.mass + p.arm_mass_lump) * 9.81
+    return nominal
+
+
+def default_action_bounds():
+    """Physical clamps for the attitude mode: thrust in [0, 400] N, tilt
+    setpoints within +-0.35 rad, yaw +-0.6, joint accel +-20 rad/s^2."""
+    lo = np.asarray([0.0, -0.35, -0.35, -0.6] + [-20.0] * kinova.N_JOINTS)
+    hi = np.asarray([400.0, 0.35, 0.35, 0.6] + [20.0] * kinova.N_JOINTS)
+    return lo, hi
 
 
 @dataclass(frozen=True)
@@ -76,6 +102,10 @@ class WholeBodyMPPIParams:
             savgol_window=9,
             savgol_polyorder=2,
             shift_warm_start=False,
+            u_min=default_action_bounds()[0],
+            u_max=default_action_bounds()[1],
+            warm_start_decay=0.9,
+            nominal_action=default_nominal_action(),
         )
     )
     model: WholeBodyParams = field(default_factory=WholeBodyParams)

@@ -1,0 +1,102 @@
+"""Full-plant whole-body closed loop (attitude mode, stabilized defaults)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig
+import dataclasses
+
+
+def small_params(k=256, h=50):
+    base = wbs.WholeBodyMPPIParams()
+    return dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=k, n_horizon=h)
+    )
+
+
+def test_attitude_mode_full_plant_reaches_then_stays_upright():
+    """MPPI (attitude mode) on the FULL plant (quaternion body, rotor lag,
+    arm forward dynamics, gravity-moment coupling): approaches the EE target
+    and keeps the vehicle airborne and upright over the 3 s window.
+
+    Long-horizon station-keeping drift of the whole-body loop is a known
+    open item (see ROADMAP.md) — this pins the currently-working envelope.
+    """
+    params = small_params()
+    run = wbl.make_whole_body_episode(params, n_control_steps=300)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+        plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(ee_err)
+    p = np.asarray(base_pos)
+    t = np.asarray(tilt)
+    assert np.all(np.isfinite(e))
+    assert e.min() < 0.35, f"never approached: min {e.min():.3f}"
+    assert p[:, 2].min() > 0.5, f"lost altitude: {p[:, 2].min():.2f}"
+    assert t.max() < 0.7, f"tipped: max tilt {t.max():.2f}"
+
+
+def test_attitude_rollout_linear_response_matches_recursion(rng):
+    """The precomputed closed-loop convolution equals step-by-step PD
+    integration for random setpoint sequences and initial states."""
+    from quadrotor_manipulator_mppi_tpu.models.whole_body import (
+        _attitude_response_matrices,
+    )
+
+    h, dt, kp, kd = 30, 0.01, 100.0, 18.0
+    g_phi, g_om, hom = _attitude_response_matrices(h, dt, kp, kd)
+    for _ in range(3):
+        u = rng.normal(size=h) * 0.3
+        phi, om = rng.normal() * 0.2, rng.normal() * 0.5
+        x0 = np.array([phi, om])
+        phis, oms = [], []
+        for t in range(h):
+            om = om + dt * (kp * (u[t] - phi) - kd * om)
+            phi = phi + dt * om
+            phis.append(phi)
+            oms.append(om)
+        np.testing.assert_allclose(g_phi @ u + hom[:, 0, :] @ x0, phis, atol=1e-10)
+        np.testing.assert_allclose(g_om @ u + hom[:, 1, :] @ x0, oms, atol=1e-10)
+
+
+def test_quat_from_rpy_matches_euler_matrix(rng):
+    from quadrotor_manipulator_mppi_tpu.models.whole_body import _quat_from_rpy
+    from quadrotor_manipulator_mppi_tpu.utils import rotations as rot
+
+    rpy = jnp.asarray(rng.uniform(-1.0, 1.0, size=(16, 3)), jnp.float32)
+    q = _quat_from_rpy(rpy)
+    angles = jnp.stack([rpy[:, 2], rpy[:, 1], rpy[:, 0]], axis=-1)
+    want = rot.euler_to_matrix(angles, "ZYX")
+    np.testing.assert_allclose(
+        np.asarray(rot.quat_to_matrix(q)), np.asarray(want), atol=1e-5
+    )
+
+
+def test_warm_start_decay_reverts_to_nominal():
+    """With decay < 1 and no useful gradient (uniform cost), the plan leaks
+    toward the nominal action between solves."""
+    from quadrotor_manipulator_mppi_tpu.solver.mppi import (
+        MPPIConfig, MPPIState, make_step,
+    )
+
+    nominal = np.asarray([5.0, 0.0])
+    cfg = MPPIConfig(
+        n_samples=32, n_horizon=8, n_action=2, sigma=0.01, savgol_window=0,
+        warm_start_decay=0.5, nominal_action=nominal,
+    )
+    step = make_step(cfg, lambda v, obs: None, lambda aux, v, u, obs: jnp.zeros(32))
+    u0 = jnp.full((8, 2), 100.0)
+    state = MPPIState(u_prev=u0, key=jax.random.key(0))
+    for _ in range(6):
+        _, state = step(state, None)
+    # 100 -> ~nominal + 0.5^6 * 95 ~ nominal + 1.5
+    np.testing.assert_allclose(
+        np.asarray(state.u_prev[:, 0]), 5.0, atol=2.5
+    )
