@@ -103,6 +103,62 @@ def imu_measure(
 
 
 @dataclass(frozen=True)
+class GpsParams:
+    """Flat-earth GPS model (RotorS gazebo_gps_plugin analog): horizontal /
+    vertical gaussian noise at a reduced rate."""
+
+    horizontal_noise: float = 0.0
+    vertical_noise: float = 0.0
+    decimation: int = 10  # sensor ticks per GPS fix (e.g. 1 kHz -> 100 Hz)
+
+
+def gps_measure(params: GpsParams, key: Array, pos: Array) -> Array:
+    kh, kv = jax.random.split(key)
+    dtype = pos.dtype
+    noise = jnp.concatenate([
+        params.horizontal_noise * jax.random.normal(kh, (2,), dtype),
+        params.vertical_noise * jax.random.normal(kv, (1,), dtype),
+    ])
+    return pos + noise
+
+
+@dataclass(frozen=True)
+class BarometerParams:
+    """Pressure-altitude model (gazebo_pressure_plugin analog): ISA pressure
+    with gaussian noise, reported as both pressure and derived altitude."""
+
+    noise_std_pa: float = 0.0
+    p0: float = 101325.0  # sea-level pressure [Pa]
+    scale_height: float = 8434.0  # [m] isothermal approx
+
+
+def barometer_measure(params: BarometerParams, key: Array, alt: Array):
+    dtype = alt.dtype
+    p_true = params.p0 * jnp.exp(-alt / params.scale_height)
+    p = p_true + params.noise_std_pa * jax.random.normal(key, (), dtype)
+    alt_meas = -params.scale_height * jnp.log(p / params.p0)
+    return p, alt_meas
+
+
+@dataclass(frozen=True)
+class MagnetometerParams:
+    """Body-frame magnetic field (gazebo_magnetometer_plugin analog):
+    a fixed world-frame reference field rotated into the body + noise."""
+
+    ref_field: tuple = (0.21523, 0.0, 0.42741)  # gauss, NED-ish default
+    noise_std: float = 0.0
+
+
+def magnetometer_measure(
+    params: MagnetometerParams, key: Array, body_rot: Array
+) -> Array:
+    dtype = body_rot.dtype
+    h_world = jnp.asarray(params.ref_field, dtype)
+    h_body = jnp.einsum("...ji,j->...i", body_rot, h_world)
+    return h_body + params.noise_std * jax.random.normal(key, (3,), dtype)
+
+
+@dataclass(frozen=True)
 class OdometryParams:
     """Zero defaults = the ground-truth fixture configuration."""
 

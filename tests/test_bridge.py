@@ -98,6 +98,26 @@ def test_native_roundtrip(native_build):
         server.stop()
 
 
+def test_sim_adapter_closes_distributed_loop():
+    """Two-process architecture end to end: the sim adapter (plant side)
+    exchanges the reference topic contract with the solver server and the
+    plant stays airborne under the returned commands."""
+    from quadrotor_manipulator_mppi_tpu.bridge.sim_adapter import SimAdapter
+
+    server = BridgeServer(session_factory=small_session)
+    server.start()
+    try:
+        adapter = SimAdapter(server.host, server.port)
+        result = adapter.run(seconds=0.3)
+        pos = result["pos"]
+        assert np.all(np.isfinite(pos))
+        assert pos[-1, 2] > 1.5, f"lost altitude: {pos[-1]}"
+        # The solver's drone setpoints actually arrived (non-default).
+        assert np.isfinite(result["final_setpoint"]).all()
+    finally:
+        server.stop()
+
+
 def test_python_client_session():
     """Drive the session directly (no sockets): teleop nudges move targets."""
     s = small_session()
