@@ -144,13 +144,17 @@ def secondary(details: dict) -> None:
     )
     details["drone_xla_K1024_H32"] = bench_fn(lambda: jdstep(dstate, dobs)[0].u_seq)
 
-    # Pallas fused pipeline in explicit-noise mode.  The in-kernel PRNG
-    # variant currently faults the axon TPU worker (under investigation —
-    # see ops/pallas/drone_kernel.py); do not run it from bench.
+    # Pallas fused pipeline: in-kernel PRNG (noise never touches HBM) and
+    # the explicit-noise variant for comparison.
     u0 = jnp.zeros((32, 3))
-    key = jax.random.key(0)
-    noise = jax.random.normal(key, (1024, 32, 3)) * 30.0
-    details["drone_pallas_fused_K1024_H32"] = bench_fn(
+    details["drone_pallas_prng_K1024_H32"] = bench_fn(
+        lambda: dk.solve_drone_pallas(
+            u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
+            n_samples=1024, n_horizon=32, n_action=3,
+        )
+    )
+    noise = jax.random.normal(jax.random.key(0), (1024, 32, 3)) * 30.0
+    details["drone_pallas_hbm_noise_K1024_H32"] = bench_fn(
         lambda: dk.solve_drone_pallas(
             u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
             noise=noise, n_samples=1024, n_horizon=32, n_action=3,

@@ -21,12 +21,11 @@ sampler is Box-Muller over 24-bit uniforms from ``pltpu.prng_random_bits``
 validated distributionally and behaviorally (reaches the same targets),
 not bit-for-bit against the XLA path.
 
-KNOWN ISSUE (axon v5e runtime, jax 0.9): the in-kernel PRNG variant
-(``noise=None``) produced NaN/nondeterministic results and a minimal
-``prng_seed``+``prng_random_bits`` repro kernel faulted the TPU worker
-process.  Until root-caused, production callers should pass explicit
-``noise`` (the pipeline itself is validated against the XLA path); the
-PRNG path is kept for investigation and works in no known-good runtime yet.
+Runtime note (axon v5e, jax 0.9): ``prng_random_bits`` yields *signed*
+int32 and Mosaic cannot cast uint32 -> f32, hence the low-24-bit masking in
+``_normals``; the TPU *interpreter* stubs ``prng_random_bits`` to zeros, so
+CPU tests validate the pipeline via the explicit-noise variant and the PRNG
+variant is validated on hardware (deterministic, N(0,1) statistics).
 """
 
 from __future__ import annotations
@@ -55,11 +54,17 @@ def _tri_matrices(h: int, a: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _normals(shape) -> jax.Array:
-    """Standard normals via Box-Muller over two 24-bit uniform draws."""
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Standard normals via Box-Muller over two 24-bit uniform draws.
+
+    ``prng_random_bits`` yields *signed* int32 on this runtime: a plain
+    ``>> 8`` would arithmetic-shift sign bits into the "uniform" (log of the
+    resulting negatives is NaN), and Mosaic cannot cast uint32 -> f32 — so
+    mask to the low 24 bits on int32 (always non-negative) instead.
+    """
+    b1 = pltpu.prng_random_bits(shape) & 0xFFFFFF
+    b2 = pltpu.prng_random_bits(shape) & 0xFFFFFF
+    u1 = b1.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
+    u2 = b2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(2.0 * np.pi * u2)
 
@@ -82,7 +87,7 @@ def _rollout_errsq(u_prev, noise, lmat, lstrict, x0, v0, target, dt, h, a):
 def _cost_kernel(seed_ref, u_prev_ref, l_ref, ls_ref, x0_ref, v0_ref,
                  tgt_ref, wt_ref, s_ref, *, dt, h, a, sigma):
     tile = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + tile)
+    pltpu.prng_seed(seed_ref[tile])
     noise = sigma * _normals((h * a, TILE))
     errsq = _rollout_errsq(
         u_prev_ref[:], noise, l_ref[:], ls_ref[:],
@@ -97,7 +102,7 @@ def _cost_kernel(seed_ref, u_prev_ref, l_ref, ls_ref, x0_ref, v0_ref,
 
 def _update_kernel(seed_ref, w_ref, du_ref, *, h, a, sigma):
     tile = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + tile)
+    pltpu.prng_seed(seed_ref[tile])
     noise = sigma * _normals((h * a, TILE))
     # Weighted sum over this tile's samples (lanes).
     w_row = w_ref[pl.ds(tile, 1), :]
@@ -173,7 +178,12 @@ def solve_drone_pallas(
     wt = np.full((h,), stage_w)
     wt[-1] = term_w
     wt_c = jnp.asarray(np.repeat(wt, a).reshape(ha, 1), jnp.float32)
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    # Non-overlapping per-tile streams: consecutive caller seeds must not
+    # share any tile stream (seed+tile would overlap n_tiles-1 of them).
+    seed_arr = (
+        jnp.asarray(seed, jnp.int32) * np.int32(n_tiles)
+        + jnp.arange(n_tiles, dtype=jnp.int32)
+    )
 
     vm = pltpu.VMEM
     const_specs = [

@@ -286,6 +286,37 @@ def backstepping_step(
     return jnp.stack([u1, u2, u3, u4], axis=-1), new_ctrl
 
 
+def roll_pitch_yawrate_thrust_step(
+    vehicle: MultirotorParams,
+    roll_des: Array,
+    pitch_des: Array,
+    yaw_rate_des: Array,
+    thrust: Array,
+    rpy: Array,
+    omega_body: Array,
+    kp_rp: float = 100.0,
+    kd_rp: float = 18.0,
+    kd_yaw_rate: float = 10.0,
+) -> Array:
+    """Attitude-command controller -> U = [T, tau] (body frame).
+
+    Behavioral port of RotorS' roll_pitch_yawrate_thrust controller
+    (``rotors_control/src/library/roll_pitch_yawrate_thrust_controller.cpp``),
+    the joystick-flight path (``rotors_joy_interface``): track commanded
+    roll/pitch angles and yaw *rate* with inertia-normalized PD, pass thrust
+    through.  Stateless — suitable for direct teleop mapping.
+    """
+    inertia = jnp.asarray(vehicle.inertia, rpy.dtype)
+    tau_r = inertia[0] * (
+        kp_rp * (roll_des - rpy[..., 0]) - kd_rp * omega_body[..., 0]
+    )
+    tau_p = inertia[1] * (
+        kp_rp * (pitch_des - rpy[..., 1]) - kd_rp * omega_body[..., 1]
+    )
+    tau_y = inertia[2] * kd_yaw_rate * (yaw_rate_des - omega_body[..., 2])
+    return jnp.stack([thrust, tau_r, tau_p, tau_y], axis=-1)
+
+
 def allocate(vehicle: MultirotorParams, u: Array) -> Array:
     """[T, tau_x, tau_y, tau_z] -> 8 rotor speed commands.
 

@@ -68,17 +68,40 @@ class MPPIConfig:
     # decay on the same timescale the state changes).
     warm_start_decay: float = 1.0
     nominal_action: Optional[Any] = None  # (A,) or (H, A); default zeros
+    # Covariance adaptation (CVIS/MPOPI-style): carry a per-action diagonal
+    # sigma in the solver state and update it from the importance-weighted
+    # second moment of the accepted noise, clipped to
+    # [sigma_min_scale, sigma_max_scale] x the configured sigma.  Requires a
+    # scalar or per-action (diagonal) ``sigma``.
+    adaptive_sigma: bool = False
+    adapt_beta: float = 0.1
+    sigma_min_scale: float = 0.3
+    sigma_max_scale: float = 3.0
 
 
 class MPPIState(NamedTuple):
     u_prev: Array  # (H, A) nominal control (acceleration) sequence
     key: Array     # PRNG key
+    sigma: Array   # (A,) live per-action exploration std (== config sigma
+                   # unless adaptive_sigma updates it)
+
+
+def _diag_sigma(config: MPPIConfig, dtype) -> Array:
+    s = jnp.asarray(config.sigma, dtype)
+    if s.ndim == 0:
+        return jnp.full((config.n_action,), s, dtype)
+    if s.ndim == 1:
+        return s
+    if config.adaptive_sigma:
+        raise ValueError("adaptive_sigma requires scalar or diagonal sigma")
+    return jnp.sqrt(jnp.sum(s * s, axis=0))  # row norms for reference only
 
 
 def init_state(config: MPPIConfig, key: Array, dtype=jnp.float32) -> MPPIState:
     return MPPIState(
         u_prev=jnp.zeros((config.n_horizon, config.n_action), dtype),
         key=key,
+        sigma=_diag_sigma(config, dtype),
     )
 
 
@@ -99,9 +122,10 @@ def make_step(
         if axis_name is not None:
             # Decorrelate shards: fold the device index into the key.
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
+        sigma_live = state.sigma if config.adaptive_sigma else config.sigma
         noise = sampling.sample_noise(
             sub, k_local, config.n_horizon, config.n_action,
-            config.sigma, state.u_prev.dtype,
+            sigma_live, state.u_prev.dtype,
         )
         if config.zero_mean_noise:
             noise = sampling.zero_mean_trick(noise)
@@ -136,6 +160,21 @@ def make_step(
                 )
             )
             warm = nominal + config.warm_start_decay * (warm - nominal)
-        return u, MPPIState(u_prev=warm, key=key)
+
+        sigma_next = state.sigma
+        if config.adaptive_sigma:
+            # Importance-weighted second moment of the accepted noise,
+            # averaged over the horizon (CVIS-style diagonal adaptation).
+            m2 = jnp.einsum("k,kha->a", w, noise * noise) / config.n_horizon
+            if axis_name is not None:
+                m2 = jax.lax.psum(m2, axis_name)
+            base = _diag_sigma(config, warm.dtype)
+            var = (1.0 - config.adapt_beta) * state.sigma**2 + config.adapt_beta * m2
+            sigma_next = jnp.clip(
+                jnp.sqrt(var),
+                config.sigma_min_scale * base,
+                config.sigma_max_scale * base,
+            )
+        return u, MPPIState(u_prev=warm, key=key, sigma=sigma_next)
 
     return step

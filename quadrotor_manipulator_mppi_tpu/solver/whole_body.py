@@ -194,8 +194,12 @@ def make_whole_body_solver(
         return WholeBodyOutput(action=u0, u_seq=u_seq, qdes=qdes, vdes=vdes), new_state
 
     def init(key: Array, dtype=jnp.float32) -> MPPIState:
+        from .mppi import _diag_sigma
+
         return MPPIState(
-            u_prev=hover_nominal_action(mp, cfg.n_horizon, dtype), key=key
+            u_prev=hover_nominal_action(mp, cfg.n_horizon, dtype),
+            key=key,
+            sigma=_diag_sigma(cfg, dtype),
         )
 
     return step, init

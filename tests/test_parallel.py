@@ -45,7 +45,7 @@ def test_sharded_drone_solver_matches_manual_global_replica():
     )
 
     key = jax.random.key(42)
-    state = MPPIState(u_prev=jnp.zeros((h, a)), key=key)
+    state = MPPIState(u_prev=jnp.zeros((h, a)), key=key, sigma=jnp.full((a,), 30.0))
     states = jax.tree.map(lambda x: x[None], state)  # 1 scenario
     obs1 = drone_solver.DroneObs(
         x=jnp.asarray([0.2, -0.1, 1.0]),

@@ -88,6 +88,28 @@ def test_flight_controller_tracks_setpoint(law):
     assert np.all(np.isfinite(np.asarray(pos_log)))
 
 
+def test_roll_pitch_yawrate_thrust_controller():
+    """Attitude-command law: plant tracks commanded roll while hovering."""
+    state = mr.init_state(VEH, pos=(0.0, 0.0, 2.0))
+    state = state._replace(rotor_speed=jnp.full((8,), VEH.hover_rotor_speed()))
+    thrust = jnp.asarray(VEH.mass * 9.81 / np.cos(0.1))
+
+    def tick(plant, _):
+        rpy = cl.rpy_of(plant)
+        u = fc.roll_pitch_yawrate_thrust_step(
+            VEH, roll_des=jnp.asarray(0.1), pitch_des=jnp.asarray(0.0),
+            yaw_rate_des=jnp.asarray(0.0), thrust=thrust,
+            rpy=rpy, omega_body=plant.omega,
+        )
+        plant = mr.step(VEH, plant, fc.allocate(VEH, u), 0.001)
+        return plant, rpy
+
+    run = jax.jit(lambda p: jax.lax.scan(tick, p, None, length=2000))
+    final, rpy_log = run(state)
+    roll_end = float(np.asarray(rpy_log)[-1, 0])
+    assert abs(roll_end - 0.1) < 0.02, f"roll {roll_end:.3f}"
+
+
 def test_step12_consistent_with_full_plant_hover():
     """Reduced 12-state model and full model agree on a short hover segment
     driven by a pure gravity-balancing wrench."""

@@ -150,6 +150,46 @@ def test_arm_solver_runs_and_improves():
     assert errs[-1] < errs[0], f"diverged: {errs[0]:.3f} -> {errs[-1]:.3f}"
 
 
+def test_adaptive_sigma_tracks_accepted_noise():
+    """CVIS-style covariance adaptation: sigma stays within its clip bounds,
+    moves away from the initial value, and the solver still converges."""
+    import dataclasses
+
+    from quadrotor_manipulator_mppi_tpu.models.point_mass import (
+        PointMassState,
+        step as pm_step,
+    )
+
+    base = drone_solver.DroneMPPIParams()
+    params = dataclasses.replace(
+        base,
+        mppi=dataclasses.replace(
+            base.mppi, n_samples=256, adaptive_sigma=True, adapt_beta=0.2
+        ),
+    )
+    step, init = drone_solver.make_drone_solver(params)
+    target = jnp.asarray(drone_solver.DEFAULT_TARGET)
+
+    def body(carry, _):
+        st, solver = carry
+        out, solver = step(
+            solver, drone_solver.DroneObs(x=st.pos, v=st.vel, target=target)
+        )
+        st = pm_step(st, out.u_seq[0], 0.01)
+        return (st, solver), (jnp.linalg.norm(st.pos - target), solver.sigma)
+
+    run = jax.jit(lambda c0: jax.lax.scan(body, c0, None, length=300)[1])
+    errs, sigmas = run(
+        (PointMassState(jnp.zeros(3), jnp.zeros(3)), init(jax.random.key(0)))
+    )
+    errs, sigmas = np.asarray(errs), np.asarray(sigmas)
+    assert np.all(np.isfinite(sigmas))
+    assert np.all(sigmas >= 0.3 * 30.0 - 1e-3)
+    assert np.all(sigmas <= 3.0 * 30.0 + 1e-3)
+    assert abs(sigmas[-1] - 30.0).max() > 0.5, "sigma never adapted"
+    assert errs.min() < 0.3
+
+
 def test_solver_state_is_deterministic():
     step, init = drone_solver.make_drone_solver()
     step = jax.jit(step)

@@ -93,7 +93,7 @@ def test_warm_start_decay_reverts_to_nominal():
     )
     step = make_step(cfg, lambda v, obs: None, lambda aux, v, u, obs: jnp.zeros(32))
     u0 = jnp.full((8, 2), 100.0)
-    state = MPPIState(u_prev=u0, key=jax.random.key(0))
+    state = MPPIState(u_prev=u0, key=jax.random.key(0), sigma=jnp.full((2,), 0.01))
     for _ in range(6):
         _, state = step(state, None)
     # 100 -> ~nominal + 0.5^6 * 95 ~ nominal + 1.5
