@@ -9,10 +9,11 @@ same solve (PyTorch, benchmarks/torch_reference.py) measured on this host
 BASELINE.md).  The torch measurement is cached in
 benchmarks/baseline_torch.json so repeated bench runs stay fast.
 
-Secondary configs (reference-parity arm/drone sizes, the Pallas fused drone
-kernel, and the large K=16384/H=100 obstacle config from BASELINE.json) are
-timed too and written to benchmarks/BENCH_DETAILS.json + stderr.
-Set QMM_BENCH_QUICK=1 to run only the headline.
+By default only the headline runs (each extra config costs minutes of
+remote compile through the axon tunnel).  Set QMM_BENCH_FULL=1 to also time
+the secondary configs (reference-parity arm/drone sizes, Pallas fused
+kernels, multi-scenario batch, the K=16384/H=100 obstacle config) into
+benchmarks/BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -161,6 +162,30 @@ def secondary(details: dict) -> None:
         )
     )
 
+    # Multi-scenario batching (BASELINE.json config 5 shape, single chip):
+    # 64 independent control problems x K=512 samples vmapped together.
+    from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig as _MC
+    import dataclasses as _dc
+
+    msp = wb.WholeBodyMPPIParams()
+    msp = _dc.replace(
+        msp, mppi=_dc.replace(msp.mppi, n_samples=512, n_horizon=50)
+    )
+    mstep, minit = wb.make_whole_body_solver(msp)
+    n_scn = 64
+    mkeys = jax.random.split(jax.random.key(0), n_scn)
+    mstates = jax.vmap(minit)(mkeys)
+    mobs1 = wb.default_obs()
+    mobs = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_scn,) + x.shape), mobs1
+    )
+    vstep = jax.jit(jax.vmap(mstep))
+    out, mstates = vstep(mstates, mobs)
+    jax.block_until_ready(out)
+    ms = bench_fn(lambda: vstep(mstates, mobs)[0].action, iters=20)
+    ms["scenario_solves_per_s"] = round(n_scn * 1e3 / ms["ms_per_solve"], 1)
+    details[f"multi_scenario_{n_scn}x512_H50"] = ms
+
     # Large whole-body config with obstacle costs (BASELINE.json config 4).
     big = wb.WholeBodyMPPIParams(
         mppi=MPPIConfig(
@@ -199,7 +224,7 @@ def main():
     log(f"tpu whole-body: {stats['solves_per_s']} solve/s "
         f"({stats['ms_per_solve']} ms/solve)")
 
-    if not os.environ.get("QMM_BENCH_QUICK"):
+    if os.environ.get("QMM_BENCH_FULL"):
         try:
             secondary(details)
         except Exception as e:  # secondary failures must not kill the headline

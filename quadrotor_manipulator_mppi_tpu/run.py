@@ -246,10 +246,98 @@ def run_mission(args):
     )
 
 
+def run_whole_body_full(args):
+    """Whole-body MPPI on the FULL plant (quaternion body, rotor lag, arm
+    forward dynamics) — the flagship closed loop."""
+    import dataclasses
+
+    import jax
+
+    from .sim import whole_body_loop as wbl
+    from .solver import whole_body as wbs
+
+    base = wbs.WholeBodyMPPIParams()
+    params = dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=512)
+    )
+    run = wbl.make_whole_body_episode(params, n_control_steps=args.steps)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+        plant, init(jax.random.key(args.seed)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(ee_err)
+    _finish(
+        "whole-body-full",
+        {
+            "min_ee_err_m": round(float(e.min()), 4),
+            "final_ee_err_m": round(float(e[-1]), 4),
+            "max_tilt_rad": round(float(np.asarray(tilt).max()), 3),
+            "min_alt_m": round(float(np.asarray(base_pos)[:, 2].min()), 3),
+        },
+        {"ee_err": e, "base_pos": np.asarray(base_pos), "tilt": np.asarray(tilt)},
+        args,
+    )
+
+
+def run_multirotor_waypoint(args):
+    """Quadrotor-only MPPI (12-state rigid-body rollouts) to a waypoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.multirotor import Multirotor12State
+    from .models.whole_body import WholeBodyState
+    from .solver import multirotor_mppi as mm
+    from .utils import rotations as rot
+
+    params = mm.MultirotorMPPIParams()
+    step, init = mm.make_multirotor_solver(params)
+    target = jnp.asarray([1.0, 2.0, 3.4])
+    zq = jnp.zeros(1)
+
+    def plant_step(state, action):
+        st = WholeBodyState(base=state, q=zq, qdot=zq)
+        base = mm._base_rollout_attitude(
+            params.model, st, action[None, None, :], 0.01, 1
+        )
+        ang = rot.matrix_to_euler(rot.quat_to_matrix(base.quat[0, 0]), "ZYX")
+        return Multirotor12State(
+            pos=base.pos[0, 0],
+            rpy=jnp.stack([ang[2], ang[1], ang[0]]),
+            vel=base.vel[0, 0],
+            omega=base.omega[0, 0],
+        )
+
+    def body(carry, _):
+        st, solver = carry
+        out, solver = step(solver, mm.MultirotorObs(state=st, target=target))
+        st = plant_step(st, out.action)
+        return (st, solver), jnp.linalg.norm(st.pos - target)
+
+    st0 = Multirotor12State(
+        pos=jnp.asarray([0.0, 0.0, 2.0]), rpy=jnp.zeros(3),
+        vel=jnp.zeros(3), omega=jnp.zeros(3),
+    )
+    run = jax.jit(lambda c0: jax.lax.scan(body, c0, None, length=args.steps)[1])
+    errs = np.asarray(run((st0, init(jax.random.key(args.seed)))))
+    _finish(
+        "multirotor-waypoint",
+        {
+            "min_err_m": round(float(errs.min()), 4),
+            "final_err_m": round(float(errs[-1]), 4),
+        },
+        {"err": errs},
+        args,
+    )
+
+
 SCENARIOS = {
     "drone-waypoint": run_drone_waypoint,
     "arm-reach": run_arm_reach,
     "whole-body": run_whole_body,
+    "whole-body-full": run_whole_body_full,
+    "multirotor-waypoint": run_multirotor_waypoint,
     "hover": run_hover,
     "mission": run_mission,
 }
