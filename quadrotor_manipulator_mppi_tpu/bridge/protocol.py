@@ -67,7 +67,13 @@ class Decoder:
                 return None
             payload = list(struct.unpack_from(f"<{count}f", buf, 12))
             del buf[:total]
-            return Frame(type=MsgType(mtype), payload=payload)
+            try:
+                mt = MsgType(mtype)
+            except ValueError:
+                # Unknown type (newer peer / protocol skew): skip the whole
+                # well-framed message instead of killing the connection.
+                continue
+            return Frame(type=mt, payload=payload)
 
     def frames(self) -> Iterator[Frame]:
         while True:

@@ -58,10 +58,17 @@ class SolverSession:
         self.drone_target = np.asarray(drone_solver.DEFAULT_TARGET, np.float32)
         self.arm_nudge = np.zeros(7, np.float32)
         self.land = False
+        self.gripper_cmd = 0.0
 
     def handle_states(self, payload) -> list:
         """ROBOT_STATES -> [ROBOT_CMD frame, DRONE_POSE frame]."""
         base_pos, base_quat_xyzw, q, base_v, qd = proto.split_robot_states(payload)
+        if self.land:
+            # Land command (teleop code 9): descend toward the current xy at
+            # a fixed rate, mirroring the reference's landing behavior
+            # (controller.cpp Land: descend, cut motors near ground).
+            self.drone_target[0:2] = np.asarray(base_pos[:2], np.float32)
+            self.drone_target[2] = max(0.0, float(base_pos[2]) - 0.4)
         q = jnp.asarray(q, jnp.float32)
         qd_j = jnp.asarray(qd, jnp.float32)
         base_pose = Pose.from_xyzw(
@@ -116,12 +123,17 @@ class SolverSession:
     def handle_teleop_arm(self, code: int) -> None:
         """Reference kinova_callback codes: odd/even pairs nudge joint
         +-10 deg (applied plant-side in the reference, controller.cpp:813+;
-        here accumulated for plant adapters to consume).  Codes 15/16 =
-        gripper close/open."""
+        here accumulated for plant adapters to consume, like the land flag).
+        Codes 15/16 = gripper close/open command (plant adapters drive the
+        aperture via sim/scenario.MissionState.gripper_cmd)."""
         if 1 <= code <= 14:
             joint = (code + 1) // 2 - 1
             sign = 1.0 if code % 2 == 1 else -1.0
             self.arm_nudge[joint] += sign * TELEOP_STEP_JOINT
+        elif code == 15:
+            self.gripper_cmd = 1.0
+        elif code == 16:
+            self.gripper_cmd = 0.0
 
 
 class BridgeServer:

@@ -99,6 +99,10 @@ class SimAdapter:
     # -- physics -------------------------------------------------------------
 
     def _tick(self) -> None:
+        import jax.numpy as jnp
+
+        from ..models.whole_body import arm_gravity_torque_fast
+
         base_rot = rot.quat_to_matrix(self.plant.quat)
         qdd = rb.forward_dynamics(
             self._spec, self._inertials, self.q, self.qdot, self.tau_arm,
@@ -107,15 +111,22 @@ class SimAdapter:
         self.qdot = self.qdot + qdd * self.physics_dt
         self.q = self.q + self.qdot * self.physics_dt
 
+        # Arm gravity moment: disturbs the base AND is fed forward to the
+        # backstepping law — exactly the reference's manipulator handling
+        # (controller.cpp harrier_grav_feedback into computeQuadControl).
+        tau_g = arm_gravity_torque_fast(
+            self._spec, self._inertials, self.q, base_rot
+        )
         u, self.ctrl = fc.backstepping_step(
             self.gains, self.vehicle, self.ctrl, self.setpoint,
             pos=self.plant.pos, vel_world=self.plant.vel,
             rpy=cl.rpy_of(self.plant), omega_body=self.plant.omega,
-            dt=self.physics_dt,
+            dt=self.physics_dt, tau_g=tau_g,
         )
         self.plant = mr.step(
             self.vehicle, self.plant, fc.allocate(self.vehicle, u),
             self.physics_dt, extra_mass=self.arm_mass_lump,
+            external_wrench_body=(jnp.zeros(3), tau_g),
         )
 
     def run(self, seconds: float) -> dict:

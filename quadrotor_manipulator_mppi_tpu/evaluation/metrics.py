@@ -34,8 +34,8 @@ def rms(x: Array, axis=None) -> Array:
     return jnp.sqrt(jnp.mean(x * x, axis=axis))
 
 
-def position_rms_error(pos: Array, target: Array, axis=(-1, -2)) -> Array:
-    """RMS of |p_t - p*| over the trajectory (pos: [..., T, 3])."""
+def position_rms_error(pos: Array, target: Array) -> Array:
+    """RMS of |p_t - p*| over the trajectory's time axis (pos: [..., T, 3])."""
     return jnp.sqrt(jnp.mean(jnp.sum((pos - target) ** 2, axis=-1), axis=-1))
 
 

@@ -79,9 +79,11 @@ def rnea(
     feed-forward (behavioral parity with ``controller.cpp:587-610``'s
     closed-form gravity wrench).
 
-    ``base_rot`` is the world->base rotation ([..., 3, 3]); gravity is applied
-    by the fictitious base acceleration trick (a0 = +g z in world coords).
-    ``base_vel``/``base_acc`` let the caller couple in floating-base motion.
+    ``base_rot`` is the **base->world** (body-to-world) rotation
+    ([..., 3, 3]) — the same convention as ``Pose.rotation_matrix`` and every
+    in-repo caller; gravity is applied by the fictitious base acceleration
+    trick (a0 = R^T (+g z_world)).  ``base_vel``/``base_acc`` let the caller
+    couple in floating-base motion.
     """
     dtype = q.dtype
     batch = q.shape[:-1]

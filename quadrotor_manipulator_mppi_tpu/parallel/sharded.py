@@ -46,12 +46,18 @@ def make_sharded_solver(
     """
     n_smp = mesh.shape[SAMPLE_AXIS]
     params = preset_kwargs.get("params")
-    total_k = params.mppi.n_samples if params is not None else None
-    if total_k is not None and total_k % n_smp:
+    if params is None:
+        raise ValueError(
+            "make_sharded_solver requires explicit params= so the GLOBAL "
+            "n_samples can be divided over the sample shards (omitting it "
+            "would silently multiply the sample count by the shard count)"
+        )
+    total_k = params.mppi.n_samples
+    if total_k % n_smp:
         raise ValueError(f"n_samples {total_k} not divisible by {n_smp} shards")
     step, init = make_step_fn(
         axis_name=SAMPLE_AXIS,
-        n_local_samples=None if total_k is None else total_k // n_smp,
+        n_local_samples=total_k // n_smp,
         **preset_kwargs,
     )
 

@@ -12,7 +12,8 @@ and prints metrics JSON:
     python -m quadrotor_manipulator_mppi_tpu.run mission
 
 Options: --steps N, --seed S, --controller {pid,backstepping,lee},
---save-log PATH (.npz trajectory dump), --checkpoint PATH (solver state).
+--save-log PATH (.npz trajectory dump).  Solver-state checkpointing lives in
+``utils/checkpoint.py`` (library API; see tests/test_arm_loop.py).
 """
 
 from __future__ import annotations
@@ -40,10 +41,15 @@ def run_drone_waypoint(args):
     from .sim import closed_loop as cl, flight_control as fc
     from .solver import drone as drone_solver
 
+    if args.controller == "lee":
+        raise SystemExit(
+            "drone-waypoint drives the pid/backstepping inner loop; "
+            "use 'hover --controller lee' for the Lee controller"
+        )
     veh = mr.MultirotorParams()
     target = jnp.asarray(drone_solver.DEFAULT_TARGET)
     step, init = drone_solver.make_drone_solver()
-    cfg = cl.LoopConfig(controller=args.controller if args.controller != "lee" else "backstepping")
+    cfg = cl.LoopConfig(controller=args.controller)
     run = cl.make_episode(
         cfg, veh,
         fc.SIM_TUNED_GAINS if cfg.controller == "pid" else fc.FlightGains(),
@@ -94,36 +100,51 @@ def run_arm_reach(args):
 
 
 def run_whole_body(args):
+    """Perfect-model MPC loop: the plant is one step of the solver's own
+    rollout model, so it stays mode-correct (the attitude-mode actions are
+    setpoints, not torques — they must NOT be fed to step12)."""
     import jax
     import jax.numpy as jnp
 
-    from .models.multirotor import step12
+    from .models import whole_body as wbm
+    from .models.multirotor import Multirotor12State
     from .models.whole_body import WholeBodyState
     from .solver import whole_body as wbs
+    from .utils import rotations as rot
 
-    step, init = wbs.make_whole_body_solver()
+    params = wbs.WholeBodyMPPIParams()
+    step, init = wbs.make_whole_body_solver(params)
     obs0 = wbs.default_obs()
-    spec = wbs.WholeBodyMPPIParams().model.chain()
+    spec = params.model.chain()
 
     from .models import chain as chain_mod
-    from .models.whole_body import base_rotation
-    from .utils import se3
 
     def ee_err(state):
-        base_tf = se3.Transform(rot=base_rotation(state.base), trans=state.base.pos)
-        ee = chain_mod.forward_kinematics(spec, state.q, base=base_tf)
-        return jnp.linalg.norm(ee.trans - obs0.ee_target.position)
+        base_quat = wbm._quat_from_rpy(state.base.rpy)
+        ee_pos, _ = chain_mod.forward_kinematics_posquat(
+            spec, state.q, base_pos=state.base.pos, base_quat=base_quat
+        )
+        return jnp.linalg.norm(ee_pos - obs0.ee_target.position)
+
+    def plant_step(state, action):
+        _, q, qdot, base = wbm.rollout(
+            params.model, state, action[None, None, :], 0.01
+        )
+        ang = rot.matrix_to_euler(rot.quat_to_matrix(base.quat[0, 0]), "ZYX")
+        base12 = Multirotor12State(
+            pos=base.pos[0, 0],
+            rpy=jnp.stack([ang[2], ang[1], ang[0]]),
+            vel=base.vel[0, 0],
+            omega=base.omega[0, 0],
+        )
+        return WholeBodyState(base=base12, q=q[0, 0], qdot=qdot[0, 0])
 
     def body(carry, _):
         state, solver = carry
         obs = wbs.WholeBodyObs(state=state, ee_target=obs0.ee_target,
                                base_target=obs0.base_target)
         out, solver = step(solver, obs)
-        base = step12(wbs.WholeBodyMPPIParams().model.vehicle, state.base,
-                      out.action[:4], 0.01, extra_mass=5.54)
-        qdot = state.qdot + out.action[4:] * 0.01
-        q = state.q + state.qdot * 0.01 + 0.5 * out.action[4:] * 1e-4
-        state = WholeBodyState(base=base, q=q, qdot=qdot)
+        state = plant_step(state, out.action)
         return (state, solver), (ee_err(state), state.base.pos)
 
     run = jax.jit(lambda c0: jax.lax.scan(body, c0, None, length=args.steps)[1])

@@ -91,7 +91,6 @@ def make_whole_body_episode(
     spec = params.model.chain()
     inertials = params.model.inertials()
     step, _ = wbs.make_whole_body_solver(params)
-    arm_mass = float(inertials.mass.sum())
 
     mode = params.model.control_mode
     inertia = jnp.asarray(vehicle.inertia, jnp.float32)

@@ -66,6 +66,35 @@ def test_protocol_roundtrip_python():
     np.testing.assert_allclose(out.payload, f.payload)
 
 
+def test_decoder_skips_unknown_message_types():
+    """Protocol skew: a well-framed message with an unknown type is skipped,
+    not fatal, and the following frame still decodes."""
+    import struct
+
+    d = proto.Decoder()
+    unknown = struct.pack("<III", proto.MAGIC, 999, 1) + struct.pack("<f", 1.0)
+    good = proto.encode(proto.Frame(proto.MsgType.PING, []))
+    d.feed(unknown + good)
+    f = d.pop()
+    assert f is not None and f.type == proto.MsgType.PING
+    assert d.pop() is None
+
+
+def test_session_land_command_descends_target():
+    s = small_session()
+    state = [0.0] * 27
+    state[2] = 2.1
+    state[6] = 1.0
+    s.handle_teleop_uav(9)
+    assert s.land
+    s.handle_states(state)
+    assert s.drone_target[2] < 2.1  # descending toward ground
+    s.handle_teleop_arm(15)
+    assert s.gripper_cmd == 1.0
+    s.handle_teleop_arm(16)
+    assert s.gripper_cmd == 0.0
+
+
 def test_split_robot_states_layout():
     payload = list(range(27))
     bp, bq, q, bv, qd = proto.split_robot_states([float(x) for x in payload])

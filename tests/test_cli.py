@@ -41,3 +41,19 @@ def test_arm_reach_short(capsys):
     r = run_cli(capsys, ["arm-reach", "--steps", "260"])
     assert r["scenario"] == "arm-reach"
     assert r["phase2"] is True
+
+
+def test_whole_body_mode_correct_plant(capsys):
+    """Regression: the whole-body scenario must interpret attitude-mode
+    actions as setpoints (one rollout-model step), not as torques fed to
+    step12 — the solver should make real EE progress."""
+    r = run_cli(capsys, ["whole-body", "--steps", "80"])
+    assert r["min_ee_err_m"] < r["initial_ee_err_m"] * 0.75
+    assert abs(r["base_alt_final_m"] - 2.1) < 0.8
+
+
+def test_drone_waypoint_rejects_lee(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["drone-waypoint", "--controller", "lee", "--steps", "10"])

@@ -16,7 +16,7 @@ def random_quats(rng, n=64):
 
 def test_quat_to_matrix_matches_scipy(rng):
     q = random_quats(rng)
-    got = np.asarray(rot.quat_to_matrix(jnp.asarray(q, jnp.float64)))
+    got = np.asarray(rot.quat_to_matrix(jnp.asarray(q, jnp.float32)))
     # scipy uses xyzw
     want = R.from_quat(np.roll(q, -1, axis=-1)).as_matrix()
     np.testing.assert_allclose(got, want, atol=1e-6)
