@@ -110,107 +110,13 @@ def headline(details: dict) -> dict:
 
 
 def secondary(details: dict) -> None:
-    import jax
-    import jax.numpy as jnp
-    from quadrotor_manipulator_mppi_tpu.solver import arm as arm_solver
-    from quadrotor_manipulator_mppi_tpu.solver import drone as drone_solver
-    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wb
-    from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig
-    from quadrotor_manipulator_mppi_tpu.ops.pallas import drone_kernel as dk
-    from quadrotor_manipulator_mppi_tpu.utils.pose import Pose
+    """Delegates to benchmarks/run_details.py (shared, incremental)."""
+    from benchmarks.run_details import main as details_main
 
-    # Reference-parity arm config (K=100, H=32).
-    astep, ainit = arm_solver.make_arm_solver()
-    jastep = jax.jit(astep)
-    astate = ainit(jax.random.key(0))
-    aobs = arm_solver.ArmObs(
-        q=jnp.zeros(7), qdot=jnp.zeros(7),
-        base_pose=Pose(position=jnp.asarray([0.0, 0.0, 2.1]),
-                       quat=jnp.asarray([1.0, 0, 0, 0])),
-        target=arm_solver.default_target(),
-    )
-    details["arm_K100_H32"] = bench_fn(lambda: jastep(astate, aobs)[0].qdes)
-
-    # Reference-parity drone config (K=1000 -> 1024 for tiling comparisons).
-    dparams = drone_solver.DroneMPPIParams(
-        mppi=MPPIConfig(n_samples=1024, n_horizon=32, n_action=3,
-                        dt=0.01, lam=0.1, sigma=30.0, savgol_window=5)
-    )
-    dstep, dinit = drone_solver.make_drone_solver(dparams)
-    jdstep = jax.jit(dstep)
-    dstate = dinit(jax.random.key(0))
-    dobs = drone_solver.DroneObs(
-        x=jnp.zeros(3), v=jnp.zeros(3),
-        target=jnp.asarray(drone_solver.DEFAULT_TARGET),
-    )
-    details["drone_xla_K1024_H32"] = bench_fn(lambda: jdstep(dstate, dobs)[0].u_seq)
-
-    # Pallas fused pipeline: in-kernel PRNG (noise never touches HBM) and
-    # the explicit-noise variant for comparison.
-    u0 = jnp.zeros((32, 3))
-    details["drone_pallas_prng_K1024_H32"] = bench_fn(
-        lambda: dk.solve_drone_pallas(
-            u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
-            n_samples=1024, n_horizon=32, n_action=3,
-        )
-    )
-    noise = jax.random.normal(jax.random.key(0), (1024, 32, 3)) * 30.0
-    details["drone_pallas_hbm_noise_K1024_H32"] = bench_fn(
-        lambda: dk.solve_drone_pallas(
-            u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
-            noise=noise, n_samples=1024, n_horizon=32, n_action=3,
-        )
-    )
-
-    # Multi-scenario batching (BASELINE.json config 5 shape, single chip):
-    # 64 independent control problems x K=512 samples vmapped together.
-    from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig as _MC
-    import dataclasses as _dc
-
-    msp = wb.WholeBodyMPPIParams()
-    msp = _dc.replace(
-        msp, mppi=_dc.replace(msp.mppi, n_samples=512, n_horizon=50)
-    )
-    mstep, minit = wb.make_whole_body_solver(msp)
-    n_scn = 64
-    mkeys = jax.random.split(jax.random.key(0), n_scn)
-    mstates = jax.vmap(minit)(mkeys)
-    mobs1 = wb.default_obs()
-    mobs = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_scn,) + x.shape), mobs1
-    )
-    vstep = jax.jit(jax.vmap(mstep))
-    out, mstates = vstep(mstates, mobs)
-    jax.block_until_ready(out)
-    ms = bench_fn(lambda: vstep(mstates, mobs)[0].action, iters=20)
-    ms["scenario_solves_per_s"] = round(n_scn * 1e3 / ms["ms_per_solve"], 1)
-    details[f"multi_scenario_{n_scn}x512_H50"] = ms
-
-    # Large whole-body config with obstacle costs (BASELINE.json config 4).
-    big = wb.WholeBodyMPPIParams(
-        mppi=MPPIConfig(
-            n_samples=16384, n_horizon=100, n_action=wb.N_ACTIONS,
-            dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
-        ),
-        cost=wb.WholeBodyCostParams(
-            obstacle_weight=100.0,
-            obstacle_centers=((0.5, 0.5, 1.5), (-0.5, 1.0, 2.0)),
-            obstacle_radii=(0.3, 0.4),
-        ),
-    )
-    bstep, binit = wb.make_whole_body_solver(big)
-    jbstep = jax.jit(bstep, donate_argnums=0)
-    bstate = binit(jax.random.key(0))
-    bobs = wb.default_obs()
-    out, bstate = jbstep(bstate, bobs)
-    jax.block_until_ready(out)
-    holder = {"state": bstate}
-
-    def one_big():
-        out, holder["state"] = jbstep(holder["state"], bobs)
-        return out
-
-    details["whole_body_obstacles_K16384_H100"] = bench_fn(one_big, iters=20)
+    details_main(["arm", "drone", "pallas", "multi", "big"])
+    if os.path.exists(DETAILS_PATH):
+        with open(DETAILS_PATH) as f:
+            details.update(json.load(f))
 
 
 def main():

@@ -1,0 +1,149 @@
+"""Incrementally measure secondary bench configs into BENCH_DETAILS.json.
+
+Each config costs minutes of remote compile on this setup, so the driver's
+bench.py only runs the headline; this script fills in the rest, one subset
+per invocation (results merge into the JSON):
+
+    python benchmarks/run_details.py arm drone pallas
+    python benchmarks/run_details.py multi big
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DETAILS_PATH = os.path.join(REPO, "benchmarks", "BENCH_DETAILS.json")
+
+
+def main(which):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import bench_fn, log
+    from quadrotor_manipulator_mppi_tpu.solver import arm as arm_solver
+    from quadrotor_manipulator_mppi_tpu.solver import drone as drone_solver
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wb
+    from quadrotor_manipulator_mppi_tpu.solver.mppi import MPPIConfig
+    from quadrotor_manipulator_mppi_tpu.ops.pallas import drone_kernel as dk
+    from quadrotor_manipulator_mppi_tpu.utils.pose import Pose
+
+    details = {}
+    if os.path.exists(DETAILS_PATH):
+        with open(DETAILS_PATH) as f:
+            details = json.load(f)
+    dev = jax.devices()[0]
+    details["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+
+    if "arm" in which:
+        astep, ainit = arm_solver.make_arm_solver()
+        jastep = jax.jit(astep)
+        astate = ainit(jax.random.key(0))
+        aobs = arm_solver.ArmObs(
+            q=jnp.zeros(7), qdot=jnp.zeros(7),
+            base_pose=Pose(position=jnp.asarray([0.0, 0.0, 2.1]),
+                           quat=jnp.asarray([1.0, 0, 0, 0])),
+            target=arm_solver.default_target(),
+        )
+        details["arm_K100_H32"] = bench_fn(lambda: jastep(astate, aobs)[0].qdes)
+        log("arm done", details["arm_K100_H32"])
+
+    dobs = drone_solver.DroneObs(
+        x=jnp.zeros(3), v=jnp.zeros(3),
+        target=jnp.asarray(drone_solver.DEFAULT_TARGET),
+    )
+    if "drone" in which:
+        dparams = drone_solver.DroneMPPIParams(
+            mppi=MPPIConfig(n_samples=1024, n_horizon=32, n_action=3,
+                            dt=0.01, lam=0.1, sigma=30.0, savgol_window=5)
+        )
+        dstep, dinit = drone_solver.make_drone_solver(dparams)
+        jdstep = jax.jit(dstep)
+        dstate = dinit(jax.random.key(0))
+        details["drone_xla_K1024_H32"] = bench_fn(
+            lambda: jdstep(dstate, dobs)[0].u_seq
+        )
+        log("drone done", details["drone_xla_K1024_H32"])
+
+    if "pallas" in which:
+        u0 = jnp.zeros((32, 3))
+        details["drone_pallas_prng_K1024_H32"] = bench_fn(
+            lambda: dk.solve_drone_pallas(
+                u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
+                n_samples=1024, n_horizon=32, n_action=3,
+            )
+        )
+        log("pallas prng done", details["drone_pallas_prng_K1024_H32"])
+        noise = jax.random.normal(jax.random.key(0), (1024, 32, 3)) * 30.0
+        details["drone_pallas_hbm_noise_K1024_H32"] = bench_fn(
+            lambda: dk.solve_drone_pallas(
+                u0, dobs.x, dobs.v, dobs.target, jnp.asarray(1, jnp.int32),
+                noise=noise, n_samples=1024, n_horizon=32, n_action=3,
+            )
+        )
+        log("pallas hbm done", details["drone_pallas_hbm_noise_K1024_H32"])
+
+    if "multi" in which:
+        msp = wb.WholeBodyMPPIParams()
+        msp = dataclasses.replace(
+            msp, mppi=dataclasses.replace(msp.mppi, n_samples=512, n_horizon=50)
+        )
+        mstep, minit = wb.make_whole_body_solver(msp)
+        n_scn = 64
+        mstates = jax.vmap(minit)(jax.random.split(jax.random.key(0), n_scn))
+        mobs1 = wb.default_obs()
+        mobs = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_scn,) + x.shape), mobs1
+        )
+        vstep = jax.jit(jax.vmap(mstep))
+        out, mstates = vstep(mstates, mobs)
+        jax.block_until_ready(out)
+        ms = bench_fn(lambda: vstep(mstates, mobs)[0].action, iters=20)
+        ms["scenario_solves_per_s"] = round(n_scn * 1e3 / ms["ms_per_solve"], 1)
+        details[f"multi_scenario_{n_scn}x512_H50"] = ms
+        log("multi done", ms)
+
+    if "big" in which:
+        big = wb.WholeBodyMPPIParams(
+            mppi=MPPIConfig(
+                n_samples=16384, n_horizon=100, n_action=wb.N_ACTIONS,
+                dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
+                u_min=wb.default_action_bounds()[0],
+                u_max=wb.default_action_bounds()[1],
+                warm_start_decay=0.9,
+                nominal_action=wb.default_nominal_action(),
+            ),
+            cost=wb.WholeBodyCostParams(
+                obstacle_weight=100.0,
+                obstacle_centers=((0.5, 0.5, 1.5), (-0.5, 1.0, 2.0)),
+                obstacle_radii=(0.3, 0.4),
+            ),
+        )
+        bstep, binit = wb.make_whole_body_solver(big)
+        jbstep = jax.jit(bstep, donate_argnums=0)
+        bstate = binit(jax.random.key(0))
+        bobs = wb.default_obs()
+        out, bstate = jbstep(bstate, bobs)
+        jax.block_until_ready(out)
+        holder = {"state": bstate}
+
+        def one_big():
+            out, holder["state"] = jbstep(holder["state"], bobs)
+            return out
+
+        details["whole_body_obstacles_K16384_H100"] = bench_fn(one_big, iters=20)
+        log("big done", details["whole_body_obstacles_K16384_H100"])
+
+    with open(DETAILS_PATH, "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps({"updated": sorted(which)}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["arm", "drone", "pallas"])
