@@ -64,11 +64,26 @@ class WholeBodyParams:
     #                The PD-closed attitude dynamics are LINEAR, so the
     #                rollout realizes them with precomputed (H, H)
     #                convolution matrices — still fully parallel-in-time.
+    #   "position" — MPPI samples [base position-setpoint offsets xyz,
+    #                yaw setpoint, qddot x7]; the plant's backstepping inner
+    #                loop closes the position loop (the reference's drone
+    #                architecture, extended with the arm), and the rollout
+    #                models the closed position loop as the identified
+    #                2nd-order linear response below — again precomputed
+    #                convolution matrices, fully parallel-in-time.  The most
+    #                robust mode for long-horizon closed-loop flight.
     control_mode: str = "attitude"
     att_kp_rp: float = 100.0   # roll/pitch PD (omega_n ~ 10 rad/s)
     att_kd_rp: float = 18.0
     att_kp_yaw: float = 20.0
     att_kd_yaw: float = 9.0
+    # Identified closed-loop position dynamics of the backstepping inner loop
+    # on the full plant (step-response fit, arm lump attached: x/y t90~2.5 s
+    # -> omega_n 1.3, zeta 0.8; z t90~0.9 s -> omega_n 3, zeta 0.9).
+    pos_kp_xy: float = 1.7
+    pos_kd_xy: float = 2.1
+    pos_kp_z: float = 9.0
+    pos_kd_z: float = 5.4
     # Parallel-in-time rollout (quaternion associative scan) vs sequential
     # euler-angle lax.scan.  Same physics to first order; the parallel path
     # turns the horizon axis into log-depth prefix ops (see rollout_parallel).
@@ -351,6 +366,55 @@ def _base_rollout_attitude(
     return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
 
 
+def _base_rollout_position(
+    params: WholeBodyParams, state: WholeBodyState, base_u: Array, dt: float, k: int
+) -> BaseTraj:
+    """Position-setpoint rollout: base_u = (K, H, 4) = [xyz offsets, yaw_des].
+
+    Each axis of the backstepping-closed position loop behaves as the
+    identified linear 2nd-order system, so the position/velocity trajectories
+    are (H, H) convolution matrices applied to the setpoint sequences.  The
+    implied attitude (small-angle tilt from commanded lateral acceleration)
+    feeds the FK and the tilt cost.
+    """
+    dtype = base_u.dtype
+    h = base_u.shape[1]
+    g_xy = _attitude_response_matrices(h, dt, params.pos_kp_xy, params.pos_kd_xy)
+    g_z = _attitude_response_matrices(h, dt, params.pos_kp_z, params.pos_kd_z)
+
+    pos0 = state.base.pos
+    vel0 = state.base.vel
+    setpoints = pos0 + base_u[..., 0:3]   # absolute position setpoints
+
+    def axis_traj(mats, i, kp, kd):
+        g_phi, g_om, hom = mats
+        u = setpoints[..., i]
+        x0 = jnp.stack([pos0[i], vel0[i]])
+        hom_traj = jnp.einsum("hij,j->hi", jnp.asarray(hom, dtype), x0)
+        p = jnp.einsum("ts,ks->kt", jnp.asarray(g_phi, dtype), u) + hom_traj[:, 0]
+        v = jnp.einsum("ts,ks->kt", jnp.asarray(g_om, dtype), u) + hom_traj[:, 1]
+        a = kp * (u - p) - kd * v
+        return p, v, a
+
+    px, vx, ax = axis_traj(g_xy, 0, params.pos_kp_xy, params.pos_kd_xy)
+    py, vy, ay = axis_traj(g_xy, 1, params.pos_kp_xy, params.pos_kd_xy)
+    pz, vz, az = axis_traj(g_z, 2, params.pos_kp_z, params.pos_kd_z)
+    pos = jnp.stack([px, py, pz], axis=-1)
+    vel = jnp.stack([vx, vy, vz], axis=-1)
+
+    # Small-angle implied attitude: pitch ~ ax/g, roll ~ -ay/g, yaw tracked
+    # quickly (treated as immediate).
+    inv_g = 1.0 / 9.81
+    rpy = jnp.stack(
+        [-ay * inv_g, ax * inv_g, base_u[..., 3]], axis=-1
+    )
+    quat = _quat_from_rpy(rpy)
+    omega = jnp.concatenate(
+        [jnp.zeros_like(rpy[..., :1, :]), jnp.diff(rpy, axis=-2) / dt], axis=-2
+    )
+    return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
+
+
 def rollout(
     params: WholeBodyParams,
     state: WholeBodyState,
@@ -372,6 +436,16 @@ def rollout(
 
     # Arm joints: wide kinematic double integration (reference arm scheme).
     q, qdot = integrators.double_integrate(arm_u, state.q, state.qdot, dt)
+
+    if params.control_mode == "position":
+        # Setpoint offsets are not actuator commands — no lag filter; the
+        # identified closed-loop response already includes all inner-loop
+        # lags.  Arm gravity is rejected by the inner loop.
+        base_traj = _base_rollout_position(params, state, base_u, dt, k)
+        ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
+            spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+        )
+        return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
 
     if params.control_mode == "attitude":
         # Thrust passes through the actuator lag; attitude setpoints are

@@ -269,7 +269,8 @@ def run_mission(args):
 
 def run_whole_body_full(args):
     """Whole-body MPPI on the FULL plant (quaternion body, rotor lag, arm
-    forward dynamics) — the flagship closed loop."""
+    forward dynamics) — the flagship closed loop.  --mode position (default;
+    robust cascade) or --mode attitude (faster, drifts past ~3 s)."""
     import dataclasses
 
     import jax
@@ -277,10 +278,13 @@ def run_whole_body_full(args):
     from .sim import whole_body_loop as wbl
     from .solver import whole_body as wbs
 
-    base = wbs.WholeBodyMPPIParams()
-    params = dataclasses.replace(
-        base, mppi=dataclasses.replace(base.mppi, n_samples=512)
-    )
+    if args.mode == "position":
+        params = wbs.position_mode_params(n_samples=512)
+    else:
+        base = wbs.WholeBodyMPPIParams()
+        params = dataclasses.replace(
+            base, mppi=dataclasses.replace(base.mppi, n_samples=512)
+        )
     run = wbl.make_whole_body_episode(params, n_control_steps=args.steps)
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
@@ -371,6 +375,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--controller", default="backstepping",
                    choices=["pid", "backstepping", "lee"])
+    p.add_argument("--mode", default="position",
+                   choices=["position", "attitude"],
+                   help="whole-body-full action mode")
     p.add_argument("--save-log", default=None)
     args = p.parse_args(argv)
     SCENARIOS[args.scenario](args)

@@ -47,12 +47,19 @@ class WholeBodyLoopConfig:
     substeps: int = 10
     track_kp: float = 400.0   # kinova.py:184
     track_kd: float = 40.0
+    # Position mode: command the plan's own predicted position this many
+    # control steps ahead instead of the raw sampled offset.  Raw offsets
+    # jump every solve and destabilize the adaptive backstepping loop; the
+    # predicted trajectory is a smooth carrot (the reference's xdes
+    # semantics, drone.py:239-241, with a slightly longer lead).
+    setpoint_lookahead: int = 10
 
 
 class WholeBodyPlant(NamedTuple):
     base: MultirotorState   # full quaternion plant
     q: Array                # (7,)
     qdot: Array             # (7,)
+    ctrl: fc.FlightCtrlState  # inner-loop state (used by position mode)
 
 
 def init_plant(
@@ -67,7 +74,10 @@ def init_plant(
         rotor_speed=jnp.full((vehicle.n_rotors,), vehicle.hover_rotor_speed(extra_mass), dtype)
     )
     q = jnp.asarray(kinova.Q_HOME if q0 is None else q0, dtype)
-    return WholeBodyPlant(base=base, q=q, qdot=jnp.zeros(7, dtype))
+    return WholeBodyPlant(
+        base=base, q=q, qdot=jnp.zeros(7, dtype),
+        ctrl=fc.init_ctrl_state(vehicle.mass + extra_mass, dtype),
+    )
 
 
 def observe(plant: WholeBodyPlant) -> WholeBodyState:
@@ -112,6 +122,10 @@ def make_whole_body_episode(
         qdot = plant.qdot + qdd * cfg.physics_dt
         q = plant.q + qdot * cfg.physics_dt
 
+        # Arm gravity moment on the base (quasi-static reaction).
+        tau_g = arm_gravity_torque_fast(spec, inertials, plant.q, base_rot)
+        ctrl = plant.ctrl
+
         if mode == "attitude":
             # Plant-side attitude PD — the same law the rollout models.
             rpy = cl.rpy_of(plant.base)
@@ -119,18 +133,32 @@ def make_whole_body_episode(
                 kp_att * (action_cmd[1:4] - rpy) - kd_att * plant.base.omega
             )
             wrench_cmd = jnp.concatenate([action_cmd[0:1], tau])
+        elif mode == "position":
+            # Backstepping inner loop tracks the MPPI position setpoint —
+            # the reference's drone architecture extended with the arm.
+            sp = fc.FlightSetpoint(
+                pos=action_cmd[0:3],
+                vel=jnp.zeros(3, action_cmd.dtype),
+                yaw=action_cmd[3],
+                yaw_rate=jnp.zeros((), action_cmd.dtype),
+            )
+            wrench_cmd, ctrl = fc.backstepping_step(
+                fc.FlightGains(), vehicle, ctrl, sp,
+                pos=plant.base.pos, vel_world=plant.base.vel,
+                rpy=cl.rpy_of(plant.base), omega_body=plant.base.omega,
+                dt=cfg.physics_dt, tau_g=tau_g,
+            )
         else:
             wrench_cmd = action_cmd
 
-        # Arm gravity moment on the base (quasi-static reaction).
-        tau_g = arm_gravity_torque_fast(spec, inertials, plant.q, base_rot)
         rotor_cmd = fc.allocate(vehicle, wrench_cmd)
         base = mr.step(
             vehicle, plant.base, rotor_cmd, cfg.physics_dt,
             extra_mass=extra,
             external_wrench_body=(jnp.zeros(3), tau_g),
         )
-        return (WholeBodyPlant(base=base, q=q, qdot=qdot), action_cmd, tau_arm_pd), None
+        nxt = WholeBodyPlant(base=base, q=q, qdot=qdot, ctrl=ctrl)
+        return (nxt, action_cmd, tau_arm_pd), None
 
     def control_step(carry, _):
         plant, solver, ee_target, base_target = carry
@@ -151,8 +179,23 @@ def make_whole_body_episode(
         effort = jnp.asarray(spec.effort, tau_arm.dtype)
         tau_arm = jnp.clip(tau_arm, -effort, effort)
 
+        if mode == "position":
+            # Smooth carrot: the model's predicted closed-loop position a
+            # short lookahead along the updated plan.
+            from ..models.whole_body import _base_rollout_position
+
+            pred = _base_rollout_position(
+                params.model, observe(plant), out.u_seq[None, :, :4],
+                cfg.substeps * cfg.physics_dt, 1,
+            )
+            la = min(cfg.setpoint_lookahead, pred.pos.shape[1] - 1)
+            base_cmd = jnp.concatenate(
+                [pred.pos[0, la], out.action[3:4]]
+            )
+        else:
+            base_cmd = out.action[:4]
         (plant, _, _), _ = jax.lax.scan(
-            physics_tick, (plant, out.action[:4], tau_arm), None, length=cfg.substeps
+            physics_tick, (plant, base_cmd, tau_arm), None, length=cfg.substeps
         )
 
         # Logs: EE world position error, base state.

@@ -89,6 +89,37 @@ def default_action_bounds():
     return lo, hi
 
 
+def position_mode_params(
+    n_samples: int = 4096, n_horizon: int = 50
+) -> "WholeBodyMPPIParams":
+    """Whole-body params for the position-cascade mode: actions are
+    [base setpoint offsets xyz, yaw_des, qddot x7]; nominal = hold station.
+    The most robust closed-loop configuration (see WholeBodyParams)."""
+    sigma = np.asarray([0.25, 0.25, 0.25, 0.1] + [1.0] * kinova.N_JOINTS)
+    lo = np.asarray([-1.5, -1.5, -1.0, -0.6] + [-20.0] * kinova.N_JOINTS)
+    hi = np.asarray([1.5, 1.5, 1.0, 0.6] + [20.0] * kinova.N_JOINTS)
+    return WholeBodyMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=n_samples,
+            n_horizon=n_horizon,
+            n_action=N_ACTIONS,
+            dt=0.01,
+            lam=0.1,
+            sigma=sigma,
+            savgol_window=9,
+            u_min=lo,
+            u_max=hi,
+            warm_start_decay=0.9,
+            nominal_action=np.zeros(N_ACTIONS),
+        ),
+        model=WholeBodyParams(control_mode="position"),
+        cost=WholeBodyCostParams(
+            base_pos_weight=50.0, attitude_weight=100.0,
+            omega_weight=1.0, vel_weight=10.0,
+        ),
+    )
+
+
 @dataclass(frozen=True)
 class WholeBodyMPPIParams:
     mppi: MPPIConfig = field(
@@ -196,11 +227,12 @@ def make_whole_body_solver(
     def init(key: Array, dtype=jnp.float32) -> MPPIState:
         from .mppi import _diag_sigma
 
-        return MPPIState(
-            u_prev=hover_nominal_action(mp, cfg.n_horizon, dtype),
-            key=key,
-            sigma=_diag_sigma(cfg, dtype),
-        )
+        if mp.control_mode == "position":
+            # Setpoint-offset actions: hold-station nominal is all zeros.
+            u0 = jnp.zeros((cfg.n_horizon, N_ACTIONS), dtype)
+        else:
+            u0 = hover_nominal_action(mp, cfg.n_horizon, dtype)
+        return MPPIState(u_prev=u0, key=key, sigma=_diag_sigma(cfg, dtype))
 
     return step, init
 

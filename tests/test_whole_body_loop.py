@@ -43,6 +43,50 @@ def test_attitude_mode_full_plant_reaches_then_stays_upright():
     assert t.max() < 0.7, f"tipped: max tilt {t.max():.2f}"
 
 
+def test_position_cascade_full_plant_stable_convergence():
+    """Position-cascade mode (MPPI setpoint offsets -> smooth-carrot
+    backstepping inner loop): monotone-ish EE convergence with essentially
+    zero tilt over 6 s on the full plant — the robust whole-body config."""
+    params = wbs.position_mode_params(n_samples=256, n_horizon=50)
+    run = wbl.make_whole_body_episode(params, n_control_steps=600)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+        plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(ee_err)
+    t = np.asarray(tilt)
+    p = np.asarray(base_pos)
+    assert np.all(np.isfinite(e))
+    assert e[-1] < e[0] * 0.5, f"no convergence: {e[0]:.3f} -> {e[-1]:.3f}"
+    assert e.min() < 0.2, f"min ee {e.min():.3f}"
+    assert t.max() < 0.1, f"tilt {t.max():.3f}"
+    assert p[:, 2].min() > 1.4, f"altitude {p[:, 2].min():.2f}"
+
+
+def test_position_rollout_response_matches_inner_loop_id(rng):
+    """The position-mode rollout's per-axis linear response uses the same
+    verified recursion machinery with the identified gains."""
+    from quadrotor_manipulator_mppi_tpu.models.whole_body import (
+        _attitude_response_matrices,
+    )
+
+    h, dt = 40, 0.1
+    for kp, kd in [(1.7, 2.1), (9.0, 5.4)]:
+        g_phi, g_om, hom = _attitude_response_matrices(h, dt, kp, kd)
+        u = rng.normal(size=h)
+        x, v = 0.4, -0.2
+        xs = []
+        for t_i in range(h):
+            v = v + dt * (kp * (u[t_i] - x) - kd * v)
+            x = x + dt * v
+            xs.append(x)
+        np.testing.assert_allclose(
+            g_phi @ u + hom[:, 0, :] @ np.array([0.4, -0.2]), xs, atol=1e-9
+        )
+
+
 def test_attitude_rollout_linear_response_matches_recursion(rng):
     """The precomputed closed-loop convolution equals step-by-step PD
     integration for random setpoint sequences and initial states."""
