@@ -94,8 +94,13 @@ def position_mode_params(
 ) -> "WholeBodyMPPIParams":
     """Whole-body params for the position-cascade mode: actions are
     [base setpoint offsets xyz, yaw_des, qddot x7]; nominal = hold station.
-    The most robust closed-loop configuration (see WholeBodyParams)."""
-    sigma = np.asarray([0.25, 0.25, 0.25, 0.1] + [1.0] * kinova.N_JOINTS)
+    The most robust closed-loop configuration (see WholeBodyParams).
+
+    Arm exploration is deliberately hot (sigma 2.0 rad/s^2): the arm's fast
+    dynamics do the fine end-effector positioning while the slow base loop
+    coarse-positions — measured full-plant reach improves from ~0.05 m to
+    ~7 mm minimum EE error with this split."""
+    sigma = np.asarray([0.25, 0.25, 0.25, 0.1] + [2.0] * kinova.N_JOINTS)
     lo = np.asarray([-1.5, -1.5, -1.0, -0.6] + [-20.0] * kinova.N_JOINTS)
     hi = np.asarray([1.5, 1.5, 1.0, 0.6] + [20.0] * kinova.N_JOINTS)
     return WholeBodyMPPIParams(
