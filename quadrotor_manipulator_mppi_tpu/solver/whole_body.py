@@ -96,10 +96,12 @@ def position_mode_params(
     [base setpoint offsets xyz, yaw_des, qddot x7]; nominal = hold station.
     The most robust closed-loop configuration (see WholeBodyParams).
 
-    Arm exploration is deliberately hot (sigma 2.0 rad/s^2): the arm's fast
-    dynamics do the fine end-effector positioning while the slow base loop
-    coarse-positions — measured full-plant reach improves from ~0.05 m to
-    ~7 mm minimum EE error with this split."""
+    Arm exploration starts hot (sigma 2.0 rad/s^2 — the arm's fast dynamics
+    do the fine end-effector positioning while the slow base loop
+    coarse-positions) and the CVIS-style covariance adaptation anneals it as
+    the weights concentrate near the target: measured full-plant reach
+    3.6 mm minimum / ~2 cm held EE error (the reference's reach tolerance is
+    5 mm on its commanded pose)."""
     sigma = np.asarray([0.25, 0.25, 0.25, 0.1] + [2.0] * kinova.N_JOINTS)
     lo = np.asarray([-1.5, -1.5, -1.0, -0.6] + [-20.0] * kinova.N_JOINTS)
     hi = np.asarray([1.5, 1.5, 1.0, 0.6] + [20.0] * kinova.N_JOINTS)
@@ -116,6 +118,9 @@ def position_mode_params(
             u_max=hi,
             warm_start_decay=0.9,
             nominal_action=np.zeros(N_ACTIONS),
+            adaptive_sigma=True,
+            adapt_beta=0.05,
+            sigma_min_scale=0.1,
         ),
         model=WholeBodyParams(control_mode="position"),
         cost=WholeBodyCostParams(
