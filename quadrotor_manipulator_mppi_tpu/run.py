@@ -357,8 +357,73 @@ def run_multirotor_waypoint(args):
     )
 
 
+def run_pick_weight(args):
+    """pick_weight task (reference worlds/pick_weight.world analog): fly the
+    whole-body system to a grasp pose, close the gripper (a 0.5 kg payload
+    attaches rigidly, mirroring the reference's added-mass modeling), then
+    lift the payload 0.4 m — all on the full plant."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from .sim import scenario as scen
+    from .sim import whole_body_loop as wbl
+    from .solver import whole_body as wbs
+    from .utils.pose import Pose
+
+    params = wbs.position_mode_params(n_samples=256, n_horizon=50)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    solver = init(jax.random.key(args.seed))
+    obs0 = wbs.default_obs()
+    grasp_target = obs0.ee_target
+    lift_target = Pose(
+        position=grasp_target.position + jnp.asarray([0.0, 0.0, 0.4]),
+        quat=grasp_target.quat,
+    )
+    half = max(args.steps // 2, 100)
+
+    # Phase 1: reach the grasp pose.
+    run1 = wbl.make_whole_body_episode(params, n_control_steps=half)
+    (plant, solver, _, _), (e1, p1, t1) = jax.jit(run1)(
+        plant, solver, grasp_target, obs0.base_target
+    )
+    grasp_err = float(np.asarray(e1)[-100:].mean())
+
+    # Gripper closes -> payload attaches (plant-side mass change).
+    cfg_payload = scen.MissionConfig()
+    params2 = dataclasses.replace(
+        params,
+        model=dataclasses.replace(
+            params.model,
+            arm_mass_lump=params.model.arm_mass_lump + cfg_payload.payload_mass,
+        ),
+    )
+    run2 = wbl.make_whole_body_episode(params2, n_control_steps=half)
+    (plant, solver, _, _), (e2, p2, t2) = jax.jit(run2)(
+        plant, solver, lift_target, obs0.base_target
+    )
+    e2 = np.asarray(e2)
+    _finish(
+        "pick-weight",
+        {
+            "grasp_hold_err_m": round(grasp_err, 4),
+            "lift_min_err_m": round(float(e2.min()), 4),
+            "lift_final_err_m": round(float(e2[-1]), 4),
+            "max_tilt_rad": round(
+                float(max(np.asarray(t1).max(), np.asarray(t2).max())), 3
+            ),
+            "payload_kg": cfg_payload.payload_mass,
+        },
+        {"reach_err": np.asarray(e1), "lift_err": e2},
+        args,
+    )
+
+
 SCENARIOS = {
     "drone-waypoint": run_drone_waypoint,
+    "pick-weight": run_pick_weight,
     "arm-reach": run_arm_reach,
     "whole-body": run_whole_body,
     "whole-body-full": run_whole_body_full,

@@ -52,6 +52,16 @@ def test_whole_body_mode_correct_plant(capsys):
     assert abs(r["base_alt_final_m"] - 2.1) < 0.8
 
 
+def test_pick_weight_task(capsys):
+    """pick_weight acceptance: grasp-pose hold, payload attach (+0.5 kg),
+    lift — the reference's task world, on the full plant."""
+    r = run_cli(capsys, ["pick-weight", "--steps", "700"])
+    assert r["payload_kg"] == 0.5
+    assert r["grasp_hold_err_m"] < 0.25
+    assert r["lift_min_err_m"] < 0.15
+    assert r["max_tilt_rad"] < 0.1
+
+
 def test_drone_waypoint_rejects_lee(capsys):
     import pytest as _pytest
 
