@@ -104,6 +104,41 @@ def drone_costs(traj, target, w_stage=100.0, w_term=20.0):
     return s
 
 
+# --- full arm MPPI update (mppi.py:122-162) ---------------------------------
+
+def arm_mppi_update(u_prev, noise, q0, qdot0, fk_fn, target_pos, target_rot,
+                    dt=0.01, lam=0.1,
+                    w_sp=50.0, w_so=30.0, w_tp=40.0, w_to=30.0,
+                    savgol_window=9):
+    """One arm solve with injected noise.  fk_fn(q (7,)) -> 4x4 world pose.
+
+    Returns (u_new, qdes, vdes) with the reference's exact update order,
+    including its use of the previous plan's first acceleration in the
+    position integration (mppi.py:156-158).
+    """
+    k, h, a = noise.shape
+    qddot_prev = u_prev[0].copy()
+    v = u_prev[None] + noise
+    q, _ = double_integrate(v, q0, qdot0, dt)
+
+    ee_pos = np.zeros((k, h, 3))
+    ee_rot = np.zeros((k, h, 3, 3))
+    for ki in range(k):
+        for t in range(h):
+            m = fk_fn(q[ki, t])
+            ee_pos[ki, t] = m[:3, 3]
+            ee_rot[ki, t] = m[:3, :3]
+
+    s = pose_costs(ee_pos, ee_rot, target_pos, target_rot, w_sp, w_so, w_tp, w_to)
+    w = softmin_weights(s, lam)
+    du = (w[:, None, None] * noise).sum(axis=0)
+    du = savgol(du, savgol_window, 2)
+    u = u_prev + du
+    vdes = qdot0 + u[0] * dt
+    qdes = q0 + qddot_prev * dt + 0.5 * u[0] * dt * dt
+    return u, qdes, vdes
+
+
 # --- full drone MPPI update (drone_mppi.py:140-176) -------------------------
 
 def drone_mppi_update(u_prev, noise, x0, v0, target, dt=0.01, lam=0.1):

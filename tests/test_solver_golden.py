@@ -88,6 +88,66 @@ def test_arm_cost_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
 
 
+def test_arm_solve_matches_oracle_end_to_end(rng):
+    """Full arm MPPI update (sampling -> double integration -> FK -> pose
+    costs -> softmin -> SavGol -> warm start -> qdes/vdes) vs the NumPy
+    oracle with injected noise — the 'bit-comparable control trajectories'
+    parity check at reduced K/H."""
+    from scipy.spatial.transform import Rotation as R
+
+    from quadrotor_manipulator_mppi_tpu.models import chain as chain_mod
+    from quadrotor_manipulator_mppi_tpu.ops import weights as w_ops
+    from quadrotor_manipulator_mppi_tpu.utils import savgol as savgol_mod
+
+    spec = kinova.chain()
+    k, h, a = 16, 16, 7
+    noise = rng.normal(size=(k, h, a)) * 0.1
+    u_prev = rng.normal(size=(h, a)) * 0.05
+    q0 = np.asarray(kinova.Q_HOME)
+    qdot0 = rng.normal(size=a) * 0.1
+    base_pos = np.array([0.0, 0.0, 2.1])
+    target = arm_solver.default_target()
+    target_pos = np.asarray(target.position) + 0.0
+    target_rot = np.asarray(target.rotation_matrix)
+
+    # JAX pipeline with the same injected noise (mirrors make_arm_solver's
+    # internals minus the PRNG draw).
+    v = jnp.asarray(u_prev, jnp.float32)[None] + jnp.asarray(noise, jnp.float32)
+    q_s, _ = integrators.double_integrate(
+        v, jnp.asarray(q0, jnp.float32), jnp.asarray(qdot0, jnp.float32), 0.01
+    )
+    ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
+        spec, q_s,
+        base_pos=jnp.asarray(base_pos, jnp.float32),
+        base_quat=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+    )
+    s = costs.pose_stage_cost_pq(
+        ee_pos, ee_quat, jnp.asarray(target_pos, jnp.float32),
+        target.quat, 50.0, 30.0, "euler_zyx",
+    ) + costs.pose_terminal_cost_pq(
+        ee_pos, ee_quat, jnp.asarray(target_pos, jnp.float32),
+        target.quat, 40.0, 30.0, "euler_zyx",
+    )
+    w = w_ops.softmin_weights(s, 0.1)
+    du = savgol_mod.smooth(
+        w_ops.weighted_noise_average(w, jnp.asarray(noise, jnp.float32)), 9, 2
+    )
+    u_jax = np.asarray(jnp.asarray(u_prev, jnp.float32) + du)
+
+    # NumPy oracle with its own float64 FK built from the raw URDF table.
+    from test_kinematics import fk_oracle
+
+    def fk_fn(q):
+        base44 = np.eye(4)
+        base44[:3, 3] = base_pos
+        return fk_oracle(q, base44)
+
+    u_oracle, qdes_o, vdes_o = oracle.arm_mppi_update(
+        u_prev, noise, q0, qdot0, fk_fn, target_pos, target_rot
+    )
+    np.testing.assert_allclose(u_jax, u_oracle, rtol=5e-3, atol=5e-4)
+
+
 def test_drone_closed_loop_reaches_target():
     """Jitted drone solver + point-mass plant reaches [1, 2, 3.4] (the
     reference's hardcoded waypoint) from rest — the SURVEY.md minimum
