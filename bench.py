@@ -87,7 +87,12 @@ def headline(details: dict) -> dict:
             dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
         )
     )
-    step, init = wb.make_whole_body_solver(params)
+    # The fused Pallas backend (noise/rollout/FK/cost resident in VMEM) is
+    # the production single-chip path; QMM_BENCH_XLA=1 times the XLA
+    # pipeline instead.
+    backend = "xla" if os.environ.get("QMM_BENCH_XLA") else "pallas"
+    details["headline_backend"] = backend
+    step, init = wb.make_whole_body_solver(params, backend=backend)
     jstep = jax.jit(step, donate_argnums=0)
     state = init(jax.random.key(0))
     obs = wb.default_obs()
@@ -113,7 +118,7 @@ def secondary(details: dict) -> None:
     """Delegates to benchmarks/run_details.py (shared, incremental)."""
     from benchmarks.run_details import main as details_main
 
-    details_main(["arm", "drone", "pallas", "multi", "big"])
+    details_main(["arm", "drone", "pallas", "multi", "big", "wbfused"])
     if os.path.exists(DETAILS_PATH):
         with open(DETAILS_PATH) as f:
             details.update(json.load(f))

@@ -140,6 +140,41 @@ def main(which):
         details["whole_body_obstacles_K16384_H100"] = bench_fn(one_big, iters=20)
         log("big done", details["whole_body_obstacles_K16384_H100"])
 
+    if "wbfused" in which:
+        # XLA-vs-fused on the compute-bound obstacle config (the fused
+        # kernel's headline win: noise/rollout/FK/cost never leave VMEM).
+        big = wb.WholeBodyMPPIParams(
+            mppi=MPPIConfig(
+                n_samples=16384, n_horizon=100, n_action=wb.N_ACTIONS,
+                dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
+                u_min=wb.default_action_bounds()[0],
+                u_max=wb.default_action_bounds()[1],
+                warm_start_decay=0.9,
+                nominal_action=wb.default_nominal_action(),
+            ),
+            cost=wb.WholeBodyCostParams(
+                obstacle_weight=100.0,
+                obstacle_centers=((0.5, 0.5, 1.5), (-0.5, 1.0, 2.0)),
+                obstacle_radii=(0.3, 0.4),
+            ),
+        )
+        fstep, finit = wb.make_whole_body_solver(big, backend="pallas")
+        jfstep = jax.jit(fstep, donate_argnums=0)
+        fstate = finit(jax.random.key(0))
+        fobs = wb.default_obs()
+        out, fstate = jfstep(fstate, fobs)
+        jax.block_until_ready(out)
+        holder_f = {"state": fstate}
+
+        def one_fused():
+            out, holder_f["state"] = jfstep(holder_f["state"], fobs)
+            return out
+
+        details["whole_body_obstacles_fused_K16384_H100"] = bench_fn(
+            one_fused, iters=40
+        )
+        log("wbfused done", details["whole_body_obstacles_fused_K16384_H100"])
+
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps({"updated": sorted(which)}))

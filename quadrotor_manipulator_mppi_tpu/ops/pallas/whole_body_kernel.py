@@ -1,0 +1,640 @@
+"""Fused Pallas MPPI solve for the whole-body quadrotor + arm task.
+
+The ROADMAP "whole-body Pallas fusion" item: the XLA path materializes the
+(K, H, ...) noise, joint, attitude, FK and cost tensors in HBM between
+fusions — at K=16384, H=100 that is gigabytes of round-trip traffic per
+solve and the measured bottleneck (FK alone ~7 ms of an ~11 ms solve).
+This kernel runs sample -> rollout -> FK -> cost entirely in VMEM, tiled
+over samples, with the same two-pass regenerated-noise scheme as
+``drone_kernel``:
+
+* **Pass 1 (cost)** seeds the per-core PRNG per tile, draws the tile's
+  noise in VMEM (one (H, TILE) block per action, fixed order), rolls out the
+  base + arm, runs the 7-joint quaternion FK and the full cost stack, and
+  emits only the per-sample cost S.
+* **Pass 2 (update)** regenerates the identical noise and accumulates the
+  importance-weighted noise average (and, for adaptive-sigma configs, the
+  weighted second moment) per tile.  Softmin weighting, Savitzky-Golay
+  smoothing, clamping and warm-start bookkeeping stay in XLA — they are
+  O(H*A) and not worth fusing.
+
+Layout: samples ride the 128-lane axis; every per-channel quantity is an
+(H, TILE) block so the VPU runs the quaternion algebra at full width, and
+every horizon recurrence (arm double integration, PD-closed attitude or
+identified position response, rotor lag, velocity/position cumsums) is a
+host-precomputed (H, H) matrix applied on the MXU — the parallel-in-time
+factorization of ``models/whole_body.py`` carried into one kernel.
+
+Parity: with explicit noise (``use_prng=False``) the step consumes the same
+``jax.random`` stream as the XLA solver, so the two paths agree to float
+tolerance end to end (tested).  The in-kernel PRNG variant (production) is
+a different stream — validated distributionally and behaviorally, like the
+drone kernel (see its header for the signed-int32 ``prng_random_bits``
+masking note).
+
+Reference behavior being accelerated: the whole-body capability the
+reference declares as future work (``README.md:30-34``); cost semantics per
+``cost_manager.py:30-43`` / ``pose_cost.py`` / ``joint_space_cost.py:59-80``
+as implemented in ``solver/whole_body.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models import kinova
+from ...models.chain import matrix_to_quat_np
+from ...models.whole_body import (
+    N_BASE_ACTIONS,
+    _attitude_response_matrices,
+    _rotor_lag_matrix,
+)
+from ...ops import sampling
+from ...utils import savgol
+from .drone_kernel import TILE, _normals
+
+A_TOTAL = N_BASE_ACTIONS + kinova.N_JOINTS  # 11
+
+# Scalar-pack layout (SMEM f32 vector) — indices into ``sc_ref``.
+_SC_Q0 = 0           # 7: arm joint positions
+_SC_QD0 = 7          # 7: arm joint velocities
+_SC_POS0 = 14        # 3: base position
+_SC_VEL0 = 17        # 3: base velocity
+_SC_TPOS = 20        # 3: EE target position
+_SC_TQUAT = 23       # 4: EE target quaternion (wxyz)
+_SC_BTGT = 27        # 3: base station-keeping target
+_SC_SIGMA = 30       # 11: live per-action exploration std
+_SC_LEN = 41
+
+# Column layout of the per-step ``cols`` block (H, _COL_LEN).
+_COL_TCOL = 0        # dt * (t + 1)
+_COL_GAMMA = 1       # gamma^t
+_COL_WPOS = 2        # EE position weight (stage for t<H-1, terminal at H-1)
+_COL_WORI = 3        # EE orientation weight
+_COL_WBASE = 4       # base position-error weight (0 at the terminal step)
+_COL_HOM = 5         # 6: homogeneous response columns (per axis: pos, vel)
+_COL_LEN = 11
+
+
+# atan(t) ~ t * P(t^2) on [0, 1]: degree-15 odd least-squares fit on
+# Chebyshev nodes, max abs error 4.1e-8 rad — below f32 resolution, so the
+# kernel's orientation metric matches the XLA atan2 path to float noise.
+_ATAN_COEFFS = (0.99999946, -0.33330107, 0.1994851, -0.13915803,
+                0.096562564, -0.056063175, 0.02194661, -0.0040733092)
+
+
+def _atan2_nonneg(y, x):
+    """atan2 restricted to y, x >= 0 (first quadrant) — Mosaic lowers no
+    inverse trig, so: octant reduction (atan of min/max, reflect at pi/2)
+    + the polynomial above."""
+    num = jnp.minimum(y, x)
+    den = jnp.maximum(y, x)
+    t = num / (den + 1e-30)
+    t2 = t * t
+    p = _ATAN_COEFFS[-1]
+    for coef in _ATAN_COEFFS[-2::-1]:
+        p = coef + t2 * p
+    p = t * p
+    return jnp.where(y > x, (np.pi / 2) - p, p)
+
+
+def _quat_mul(a, b):
+    """Hamilton product on component tuples of (H, T) blocks (wxyz)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _quat_rotate_const(q, v):
+    """Rotate the constant 3-vector ``v`` by quaternions ``q`` (component
+    tuple of (H, T) blocks): v + 2*(w*(u x v) + u x (u x v))."""
+    w, x, y, z = q
+    vx, vy, vz = float(v[0]), float(v[1]), float(v[2])
+    # u x v (u variable, v constant)
+    cx = y * vz - z * vy
+    cy = z * vx - x * vz
+    cz = x * vy - y * vx
+    # u x (u x v)
+    dx = y * cz - z * cy
+    dy = z * cx - x * cz
+    dz = x * cy - y * cx
+    return (
+        vx + 2.0 * (w * cx + dx),
+        vy + 2.0 * (w * cy + dy),
+        vz + 2.0 * (w * cz + dz),
+    )
+
+
+def _quat_from_rpy(r, p, y):
+    """(roll, pitch, yaw) (H, T) blocks -> wxyz quaternion components
+    (qz(yaw) * qy(pitch) * qx(roll)) — matches whole_body._quat_from_rpy."""
+    cr, sr = jnp.cos(0.5 * r), jnp.sin(0.5 * r)
+    cp, sp = jnp.cos(0.5 * p), jnp.sin(0.5 * p)
+    cy, sy = jnp.cos(0.5 * y), jnp.sin(0.5 * y)
+    return (
+        cy * cp * cr + sy * sp * sr,
+        cy * cp * sr - sy * sp * cr,
+        cy * sp * cr + sy * cp * sr,
+        sy * cp * cr - cy * sp * sr,
+    )
+
+
+def _chain_constants():
+    """Host-side (origin quaternion, origin translation) per Kinova joint.
+    tip='link_7' has an identity tip frame (asserted by the builder)."""
+    spec = kinova.chain("link_7")
+    oq = [matrix_to_quat_np(spec.origin_rot[j]) for j in range(spec.n_joints)]
+    ot = [spec.origin_trans[j] for j in range(spec.n_joints)]
+    return spec, oq, ot
+
+
+def _fk_tip(base_q, base_p, q_joints, oq, ot):
+    """Quaternion-chain FK of the 7-joint arm on (H, T) blocks.
+
+    base_q/base_p: component tuples; q_joints: list of 7 (H, T) blocks.
+    Same composition as chain.forward_kinematics_posquat (all joints are
+    revolute about local +z).
+    """
+    tq = base_q
+    tpx, tpy, tpz = base_p
+    for j in range(kinova.N_JOINTS):
+        oqw, oqx, oqy, oqz = (float(v) for v in oq[j])
+        # translate: tp += R(tq) @ origin_trans[j]
+        rx, ry, rz = _quat_rotate_const(tq, ot[j])
+        tpx, tpy, tpz = tpx + rx, tpy + ry, tpz + rz
+        # rotate: tq = tq * (origin_quat[j] * rot_z(q_j))
+        half = 0.5 * q_joints[j]
+        c, s = jnp.cos(half), jnp.sin(half)
+        jq = (oqw * c - oqz * s, oqx * c + oqy * s,
+              oqy * c - oqx * s, oqz * c + oqw * s)
+        tq = _quat_mul(tq, jq)
+    return tq, (tpx, tpy, tpz)
+
+
+def _mm(mat, x):
+    return jnp.dot(mat, x, preferred_element_type=jnp.float32)
+
+
+def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
+    """Shared pass-1 math: per-action control blocks ``v`` (list of 11
+    (H, T) arrays) -> per-sample cost (1, T)."""
+    c = consts
+    dt = c["dt"]
+    tcol = cols_ref[:, _COL_TCOL:_COL_TCOL + 1]
+
+    # ----- arm joints: q = q0 + qd0 * tcol + Q_arm @ qddot ------------------
+    q_mat = mats_ref[0]
+    q_joints = [
+        sc_ref[_SC_Q0 + j] + sc_ref[_SC_QD0 + j] * tcol
+        + _mm(q_mat, v[N_BASE_ACTIONS + j])
+        for j in range(kinova.N_JOINTS)
+    ]
+
+    # ----- base ------------------------------------------------------------
+    def hom(i):
+        return cols_ref[:, _COL_HOM + i:_COL_HOM + i + 1]
+
+    if c["mode"] == "attitude":
+        lmat, fmat = mats_ref[1], mats_ref[2]
+        g_rp, go_rp, g_y, go_y = mats_ref[3], mats_ref[4], mats_ref[5], mats_ref[6]
+        thrust = _mm(fmat, v[0]) if c["rotor_lag"] else v[0]
+        roll = _mm(g_rp, v[1]) + hom(0)
+        om_r = _mm(go_rp, v[1]) + hom(1)
+        pitch = _mm(g_rp, v[2]) + hom(2)
+        om_p = _mm(go_rp, v[2]) + hom(3)
+        yaw = _mm(g_y, v[3]) + hom(4)
+        om_y = _mm(go_y, v[3]) + hom(5)
+        bq = _quat_from_rpy(roll, pitch, yaw)
+        bw, bx, by, bz = bq
+        zx = 2.0 * (bx * bz + bw * by)
+        zy = 2.0 * (by * bz - bw * bx)
+        zz = 1.0 - 2.0 * (bx * bx + by * by)
+        inv_m = 1.0 / c["mass"]
+        ax = zx * thrust * inv_m
+        ay = zy * thrust * inv_m
+        az = zz * thrust * inv_m - 9.81
+        cvx, cvy, cvz = _mm(lmat, ax), _mm(lmat, ay), _mm(lmat, az)
+        vel = (sc_ref[_SC_VEL0] + dt * cvx,
+               sc_ref[_SC_VEL0 + 1] + dt * cvy,
+               sc_ref[_SC_VEL0 + 2] + dt * cvz)
+        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * tcol + dt * dt * _mm(lmat, cvx),
+               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * tcol + dt * dt * _mm(lmat, cvy),
+               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * tcol + dt * dt * _mm(lmat, cvz))
+        omega_sq = om_r * om_r + om_p * om_p + om_y * om_y
+    else:  # position mode
+        g_xy, go_xy, g_z, go_z, dmat = (
+            mats_ref[1], mats_ref[2], mats_ref[3], mats_ref[4], mats_ref[5]
+        )
+        pos, vel, acc = [], [], []
+        for i, (g, go, kp, kd) in enumerate(
+            [(g_xy, go_xy, c["pos_kp_xy"], c["pos_kd_xy"]),
+             (g_xy, go_xy, c["pos_kp_xy"], c["pos_kd_xy"]),
+             (g_z, go_z, c["pos_kp_z"], c["pos_kd_z"])]
+        ):
+            setp = sc_ref[_SC_POS0 + i] + v[i]      # absolute setpoints
+            p = _mm(g, setp) + hom(2 * i)
+            vv = _mm(go, setp) + hom(2 * i + 1)
+            pos.append(p)
+            vel.append(vv)
+            acc.append(kp * (setp - p) - kd * vv)
+        pos, vel = tuple(pos), tuple(vel)
+        inv_g = 1.0 / 9.81
+        roll = -acc[1] * inv_g
+        pitch = acc[0] * inv_g
+        yaw = v[3]
+        bq = _quat_from_rpy(roll, pitch, yaw)
+        bw, bx, by, bz = bq
+        om_r, om_p, om_y = _mm(dmat, roll), _mm(dmat, pitch), _mm(dmat, yaw)
+        omega_sq = om_r * om_r + om_p * om_p + om_y * om_y
+
+    # ----- FK + cost stack ---------------------------------------------------
+    tq, tp = _fk_tip(bq, pos, q_joints, c["oq"], c["ot"])
+    tw, tx, ty, tz = tq
+    tpx, tpy, tpz = tp
+
+    ex = tpx - sc_ref[_SC_TPOS]
+    ey = tpy - sc_ref[_SC_TPOS + 1]
+    ez = tpz - sc_ref[_SC_TPOS + 2]
+    dp = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+
+    # err_q = conj(tq) * target_quat; geodesic angle = 2 atan2(|vec|, |w|).
+    gw, gx, gy, gz = (sc_ref[_SC_TQUAT], sc_ref[_SC_TQUAT + 1],
+                      sc_ref[_SC_TQUAT + 2], sc_ref[_SC_TQUAT + 3])
+    ew = tw * gw + tx * gx + ty * gy + tz * gz
+    evx = tw * gx - tx * gw - ty * gz + tz * gy
+    evy = tw * gy + tx * gz - ty * gw - tz * gx
+    evz = tw * gz - tx * gy + ty * gx - tz * gw
+    nv = jnp.sqrt(evx * evx + evy * evy + evz * evz)
+    dori = 2.0 * _atan2_nonneg(nv, jnp.abs(ew))
+
+    step_cost = (
+        cols_ref[:, _COL_WPOS:_COL_WPOS + 1] * dp
+        + cols_ref[:, _COL_WORI:_COL_WORI + 1] * dori
+    )
+
+    if c["w_base"]:
+        bex = pos[0] - sc_ref[_SC_BTGT]
+        bey = pos[1] - sc_ref[_SC_BTGT + 1]
+        bez = pos[2] - sc_ref[_SC_BTGT + 2]
+        step_cost += cols_ref[:, _COL_WBASE:_COL_WBASE + 1] * (
+            bex * bex + bey * bey + bez * bez
+        )
+    if c["w_att"]:
+        r02 = 2.0 * (bx * bz + bw * by)
+        r12 = 2.0 * (by * bz - bw * bx)
+        step_cost += (c["w_att"] / c["h"]) * (r02 * r02 + r12 * r12)
+    if c["w_omega"]:
+        step_cost += (c["w_omega"] / c["h"]) * omega_sq
+    if c["w_vel"]:
+        step_cost += (c["w_vel"] / c["h"]) * (
+            vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]
+        )
+    if c["w_action"]:
+        act_sq = v[0] * v[0]
+        for i in range(1, A_TOTAL):
+            act_sq += v[i] * v[i]
+        step_cost += c["w_action"] * cols_ref[:, _COL_GAMMA:_COL_GAMMA + 1] * act_sq
+    if c["w_jl"]:
+        viol = jnp.maximum(c["q_lo"][0] - q_joints[0], q_joints[0] - c["q_hi"][0])
+        for j in range(1, kinova.N_JOINTS):
+            viol = jnp.maximum(
+                viol,
+                jnp.maximum(c["q_lo"][j] - q_joints[j], q_joints[j] - c["q_hi"][j]),
+            )
+        out = jnp.where(viol > 0.0, 1.0, 0.0)
+        step_cost += (c["w_jl"] * 1e10) * cols_ref[:, _COL_GAMMA:_COL_GAMMA + 1] * out
+    for (ox, oy, oz), orad in zip(c["obs_centers"], c["obs_radii"]):
+        dx, dy, dz = tpx - ox, tpy - oy, tpz - oz
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        pen = jnp.maximum(orad - dist, 0.0)
+        step_cost += c["w_obs"] * pen * pen
+
+    return jnp.sum(step_cost, axis=0, keepdims=True)  # (1, T)
+
+
+def _normals_erfinv(shape) -> jax.Array:
+    """Standard normals via the inverse normal CDF: z = sqrt(2) erfinv(2u-1).
+
+    One bits-draw + one transcendental per normal — measured ~20% faster
+    than the drone kernel's Box-Muller (two draws + log/sqrt/cos) at
+    K=16384, H=100.  ``erf_inv`` is a Mosaic-lowered primitive.  The 24-bit
+    masking note from ``drone_kernel._normals`` applies.
+
+    The argument is formed as (bits - (2^23 - 0.5)) / 2^23 rather than
+    2u - 1: the latter rounds to exactly 1.0f for top bit patterns (f32 ulp
+    at 1 is 2^-24) and ``erf_inv(1.0) = inf``; this form is exact in f32 and
+    caps at +-(1 - 2^-24) -> |z| <= 3.83 (tail mass beyond that is 1.3e-4 —
+    irrelevant for exploration noise).
+    """
+    bits = pltpu.prng_random_bits(shape) & 0xFFFFFF
+    x = (bits.astype(jnp.float32) - float(2**23 - 0.5)) * (1.0 / (1 << 23))
+    return np.sqrt(2.0) * jax.lax.erf_inv(x)
+
+
+def _draw_noise(sc_ref, *, consts):
+    """The tile's noise, one (H, T) block per action, fixed draw order —
+    pass 1 and pass 2 must call this identically for regeneration."""
+    return [
+        sc_ref[_SC_SIGMA + a] * _normals_erfinv((consts["h"], TILE))
+        for a in range(A_TOTAL)
+    ]
+
+
+def _cost_kernel(seed_ref, sc_ref, u_prev_ref, cols_ref, mats_ref, s_ref, *, consts):
+    tile = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[tile])
+    eps = _draw_noise(sc_ref, consts=consts)
+    v = [u_prev_ref[:, a:a + 1] + eps[a] for a in range(A_TOTAL)]
+    s_ref[pl.ds(tile, 1), :] = _rollout_cost(
+        v, sc_ref, cols_ref, mats_ref, consts=consts
+    )
+
+
+def _cost_kernel_noise(noise_ref, sc_ref, u_prev_ref, cols_ref, mats_ref, s_ref,
+                       *, consts):
+    tile = pl.program_id(0)
+    v = [u_prev_ref[:, a:a + 1] + noise_ref[0, a] for a in range(A_TOTAL)]
+    s_ref[pl.ds(tile, 1), :] = _rollout_cost(
+        v, sc_ref, cols_ref, mats_ref, consts=consts
+    )
+
+
+def _weighted_rows(eps, w_row):
+    """(1, A*H) weighted-noise-sum row and (1, A) second-moment row for one
+    tile — built in registers and stored with a single lane-aligned write
+    (Mosaic rejects dynamic stores at non-128-aligned column offsets)."""
+    du_row = jnp.concatenate(
+        [jnp.sum(e * w_row, axis=1, keepdims=True).T for e in eps], axis=1
+    )
+    m2_row = jnp.concatenate(
+        [jnp.sum(e * e * w_row).reshape(1, 1) for e in eps], axis=1
+    )
+    return du_row, m2_row
+
+
+def _update_kernel(seed_ref, sc_ref, w_ref, du_ref, m2_ref, *, consts):
+    tile = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[tile])
+    eps = _draw_noise(sc_ref, consts=consts)
+    du_row, m2_row = _weighted_rows(eps, w_ref[pl.ds(tile, 1), :])
+    du_ref[pl.ds(tile, 1), :] = du_row
+    m2_ref[pl.ds(tile, 1), :] = m2_row
+
+
+def _update_kernel_noise(noise_ref, w_ref, du_ref, m2_ref, *, consts):
+    tile = pl.program_id(0)
+    eps = [noise_ref[0, a] for a in range(A_TOTAL)]
+    du_row, m2_row = _weighted_rows(eps, w_ref[pl.ds(tile, 1), :])
+    du_ref[pl.ds(tile, 1), :] = du_row
+    m2_ref[pl.ds(tile, 1), :] = m2_row
+
+
+def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
+    """Stacked (M, H, H) horizon operators for the configured control mode."""
+    lower = np.tril(np.ones((h, h)))
+    strict = np.tril(np.ones((h, h)), k=-1)
+    q_arm = dt * dt * (lower @ strict + 0.5 * lower)
+    if mp.control_mode == "attitude":
+        fmat = (_rotor_lag_matrix(h, dt, mp.rotor_lag_tau)
+                if mp.rotor_lag_tau > 0.0 else np.eye(h))
+        g_rp, go_rp, _ = _attitude_response_matrices(h, dt, mp.att_kp_rp, mp.att_kd_rp)
+        g_y, go_y, _ = _attitude_response_matrices(h, dt, mp.att_kp_yaw, mp.att_kd_yaw)
+        mats = [q_arm, lower, fmat, g_rp, go_rp, g_y, go_y]
+    else:
+        g_xy, go_xy, _ = _attitude_response_matrices(h, dt, mp.pos_kp_xy, mp.pos_kd_xy)
+        g_z, go_z, _ = _attitude_response_matrices(h, dt, mp.pos_kp_z, mp.pos_kd_z)
+        dmat = (np.eye(h) - np.eye(h, k=-1)) / dt
+        dmat[0, :] = 0.0
+        mats = [q_arm, g_xy, go_xy, g_z, go_z, dmat]
+    return np.stack(mats).astype(np.float32)
+
+
+def _host_static_cols(cp, h: int, dt: float, gamma: float) -> np.ndarray:
+    cols = np.zeros((h, _COL_LEN), np.float32)
+    cols[:, _COL_TCOL] = dt * np.arange(1, h + 1)
+    cols[:, _COL_GAMMA] = gamma ** np.arange(h)
+    cols[:, _COL_WPOS] = cp.stage_pose_weight
+    cols[-1, _COL_WPOS] = cp.terminal_pose_weight
+    cols[:, _COL_WORI] = cp.stage_orientation_weight
+    cols[-1, _COL_WORI] = cp.terminal_orientation_weight
+    cols[:, _COL_WBASE] = cp.base_pos_weight / h
+    cols[-1, _COL_WBASE] = 0.0
+    return cols
+
+
+def make_whole_body_pallas_step(
+    params,
+    use_prng: bool = True,
+    interpret: bool = False,
+):
+    """Build ``step(state, obs) -> (u_seq, new_state)`` — the fused
+    drop-in for the XLA ``make_step`` pipeline inside
+    :func:`solver.whole_body.make_whole_body_solver`.
+
+    ``use_prng=False`` streams ``jax.random`` noise from HBM (same stream as
+    the XLA solver — parity testing / reproducibility across backends);
+    ``use_prng=True`` generates noise in-kernel (production; zero noise HBM
+    traffic).  Single-device: the softmin runs in XLA between the two
+    passes, so sharding this backend means shard_map around the whole step
+    (future work, ROADMAP).
+    """
+    from ...solver.mppi import MPPIState, _diag_sigma
+
+    cfg, mp, cp = params.mppi, params.model, params.cost
+    h, dt = cfg.n_horizon, cfg.dt
+    if cfg.n_action != A_TOTAL:
+        raise ValueError(f"whole-body kernel expects {A_TOTAL} actions")
+    if cfg.n_samples % TILE:
+        raise ValueError(f"n_samples must be a multiple of {TILE}")
+    if mp.control_mode not in ("attitude", "position"):
+        raise ValueError("fused kernel supports attitude/position modes only")
+    if cp.ori_mode != "log":
+        raise ValueError("fused kernel implements the 'log' orientation metric")
+    if cfg.zero_mean_noise:
+        raise ValueError("zero_mean_noise unsupported in the fused kernel")
+    if mp.control_mode == "attitude" and not mp.time_parallel:
+        raise ValueError("fused kernel is parallel-in-time only")
+    spec, oq, ot = _chain_constants()
+    if mp.arm_tip != "link_7":
+        raise ValueError("fused kernel bakes the link_7 tip frame")
+    n_tiles = cfg.n_samples // TILE
+
+    consts = dict(
+        h=h,
+        dt=dt,
+        mode=mp.control_mode,
+        mass=mp.vehicle.mass + mp.arm_mass_lump,
+        rotor_lag=mp.rotor_lag_tau > 0.0,
+        pos_kp_xy=mp.pos_kp_xy, pos_kd_xy=mp.pos_kd_xy,
+        pos_kp_z=mp.pos_kp_z, pos_kd_z=mp.pos_kd_z,
+        w_base=cp.base_pos_weight, w_att=cp.attitude_weight,
+        w_omega=cp.omega_weight, w_vel=cp.vel_weight,
+        w_action=cp.action_weight, w_jl=cp.joint_limit_weight,
+        q_lo=[float(x) for x in spec.lower],
+        q_hi=[float(x) for x in spec.upper],
+        oq=oq, ot=ot,
+        w_obs=cp.obstacle_weight,
+        obs_centers=tuple(tuple(float(v) for v in c) for c in cp.obstacle_centers),
+        obs_radii=tuple(float(r) for r in cp.obstacle_radii),
+    )
+
+    mats_np = _host_matrices(mp, h, dt)
+    cols_static = _host_static_cols(cp, h, dt, cp.gamma)
+    n_mats = mats_np.shape[0]
+
+    vm = pltpu.VMEM
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cols_spec = pl.BlockSpec((h, _COL_LEN), lambda i: (0, 0), memory_space=vm)
+    mats_spec = pl.BlockSpec((n_mats, h, h), lambda i: (0, 0, 0), memory_space=vm)
+    uprev_spec = pl.BlockSpec((h, A_TOTAL), lambda i: (0, 0), memory_space=vm)
+    s_spec = pl.BlockSpec((n_tiles, TILE), lambda i: (0, 0), memory_space=vm)
+    noise_spec = pl.BlockSpec(
+        (1, A_TOTAL, h, TILE), lambda i: (i, 0, 0, 0), memory_space=vm
+    )
+    w_spec = pl.BlockSpec((n_tiles, TILE), lambda i: (0, 0), memory_space=vm)
+    du_spec = pl.BlockSpec((n_tiles, A_TOTAL * h), lambda i: (0, 0), memory_space=vm)
+    m2_spec = pl.BlockSpec((n_tiles, A_TOTAL), lambda i: (0, 0), memory_space=vm)
+
+    u_lo = None if cfg.u_min is None else jnp.asarray(cfg.u_min, jnp.float32)
+    u_hi = None if cfg.u_max is None else jnp.asarray(cfg.u_max, jnp.float32)
+    sigma_base = _diag_sigma(cfg, jnp.float32)
+    nominal = (
+        jnp.zeros((h, A_TOTAL), jnp.float32)
+        if cfg.nominal_action is None
+        else jnp.broadcast_to(
+            jnp.asarray(cfg.nominal_action, jnp.float32), (h, A_TOTAL)
+        )
+    )
+
+    def _hom_cols(obs):
+        """Traced homogeneous-response columns (H, 6)."""
+        if mp.control_mode == "attitude":
+            _, _, hom_rp = _attitude_response_matrices(h, dt, mp.att_kp_rp, mp.att_kd_rp)
+            _, _, hom_y = _attitude_response_matrices(h, dt, mp.att_kp_yaw, mp.att_kd_yaw)
+            rpy0, om0 = obs.state.base.rpy, obs.state.base.omega
+            cols = []
+            for i, homm in enumerate([hom_rp, hom_rp, hom_y]):
+                x0 = jnp.stack([rpy0[i], om0[i]])
+                tr = jnp.einsum("hij,j->hi", jnp.asarray(homm, jnp.float32), x0)
+                cols += [tr[:, 0], tr[:, 1]]
+        else:
+            _, _, hom_xy = _attitude_response_matrices(h, dt, mp.pos_kp_xy, mp.pos_kd_xy)
+            _, _, hom_z = _attitude_response_matrices(h, dt, mp.pos_kp_z, mp.pos_kd_z)
+            pos0, vel0 = obs.state.base.pos, obs.state.base.vel
+            cols = []
+            for i, homm in enumerate([hom_xy, hom_xy, hom_z]):
+                x0 = jnp.stack([pos0[i], vel0[i]])
+                tr = jnp.einsum("hij,j->hi", jnp.asarray(homm, jnp.float32), x0)
+                cols += [tr[:, 0], tr[:, 1]]
+        return jnp.stack(cols, axis=-1)
+
+    def step(state: MPPIState, obs) -> Tuple[jax.Array, MPPIState]:
+        key, sub = jax.random.split(state.key)
+        sigma_live = (
+            state.sigma if cfg.adaptive_sigma
+            else jnp.asarray(sigma_base, jnp.float32)
+        )
+        sc = jnp.concatenate([
+            obs.state.q.astype(jnp.float32),
+            obs.state.qdot.astype(jnp.float32),
+            obs.state.base.pos.astype(jnp.float32),
+            obs.state.base.vel.astype(jnp.float32),
+            obs.ee_target.position.astype(jnp.float32),
+            obs.ee_target.quat.astype(jnp.float32),
+            obs.base_target.astype(jnp.float32),
+            sigma_live,
+        ])
+        cols = jnp.asarray(cols_static).at[:, _COL_HOM:].set(_hom_cols(obs))
+        mats = jnp.asarray(mats_np)
+        u_prev = state.u_prev.astype(jnp.float32)
+
+        s_shape = jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32)
+        if use_prng:
+            seed = jax.random.randint(sub, (), 0, np.int32(2**31 - 1), jnp.int32)
+            seed_arr = seed * np.int32(n_tiles) + jnp.arange(n_tiles, dtype=jnp.int32)
+            s = pl.pallas_call(
+                functools.partial(_cost_kernel, consts=consts),
+                grid=(n_tiles,),
+                in_specs=[smem, smem, uprev_spec, cols_spec, mats_spec],
+                out_specs=s_spec,
+                out_shape=s_shape,
+                interpret=interpret,
+            )(seed_arr, sc, u_prev, cols, mats)
+        else:
+            noise = sampling.sample_noise(
+                sub, cfg.n_samples, h, A_TOTAL, sigma_live, jnp.float32
+            )
+            noise_t = noise.reshape(n_tiles, TILE, h, A_TOTAL).transpose(0, 3, 2, 1)
+            s = pl.pallas_call(
+                functools.partial(_cost_kernel_noise, consts=consts),
+                grid=(n_tiles,),
+                in_specs=[noise_spec, smem, uprev_spec, cols_spec, mats_spec],
+                out_specs=s_spec,
+                out_shape=s_shape,
+                interpret=interpret,
+            )(noise_t, sc, u_prev, cols, mats)
+
+        s_flat = s.reshape(-1)
+        rho = jnp.min(s_flat)
+        w = jnp.exp((rho - s_flat) / cfg.lam)
+        w = w / jnp.sum(w)
+        w_tiles = w.reshape(n_tiles, TILE)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_tiles, A_TOTAL * h), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, A_TOTAL), jnp.float32),
+        )
+        if use_prng:
+            du_part, m2_part = pl.pallas_call(
+                functools.partial(_update_kernel, consts=consts),
+                grid=(n_tiles,),
+                in_specs=[smem, smem, w_spec],
+                out_specs=(du_spec, m2_spec),
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(seed_arr, sc, w_tiles)
+        else:
+            du_part, m2_part = pl.pallas_call(
+                functools.partial(_update_kernel_noise, consts=consts),
+                grid=(n_tiles,),
+                in_specs=[noise_spec, w_spec],
+                out_specs=(du_spec, m2_spec),
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(noise_t, w_tiles)
+
+        du = jnp.sum(du_part, axis=0).reshape(A_TOTAL, h).T  # (H, A)
+        if cfg.savgol_window:
+            du = savgol.smooth(du, cfg.savgol_window, cfg.savgol_polyorder)
+        u = u_prev + du
+        if u_lo is not None or u_hi is not None:
+            u = jnp.clip(u, u_lo, u_hi)
+
+        warm = jnp.concatenate([u[1:], u[-1:]], axis=0) if cfg.shift_warm_start else u
+        if cfg.warm_start_decay < 1.0:
+            warm = nominal + cfg.warm_start_decay * (warm - nominal)
+
+        sigma_next = state.sigma
+        if cfg.adaptive_sigma:
+            m2 = jnp.sum(m2_part, axis=0) / h
+            var = (1.0 - cfg.adapt_beta) * state.sigma**2 + cfg.adapt_beta * m2
+            sigma_next = jnp.clip(
+                jnp.sqrt(var),
+                cfg.sigma_min_scale * sigma_base,
+                cfg.sigma_max_scale * sigma_base,
+            )
+        return u, MPPIState(u_prev=warm, key=key, sigma=sigma_next)
+
+    return step

@@ -170,7 +170,15 @@ def make_whole_body_solver(
     params: WholeBodyMPPIParams = WholeBodyMPPIParams(),
     axis_name: Optional[str] = None,
     n_local_samples: Optional[int] = None,
+    backend: str = "xla",
 ):
+    """Build (step, init) for the whole-body solve.
+
+    backend="xla" is the reference pipeline (sharding-ready via
+    ``axis_name``); backend="pallas" swaps in the fused single-chip kernel
+    (``ops/pallas/whole_body_kernel``) — same step contract, ~4x faster on
+    the compute-bound configs (noise/rollout/FK/cost never leave VMEM).
+    """
     cfg = params.mppi
     cp = params.cost
     mp = params.model
@@ -223,7 +231,17 @@ def make_whole_body_solver(
             )
         return s
 
-    inner = make_step(cfg, rollout_fn, cost_fn, axis_name, n_local_samples)
+    if backend == "pallas":
+        if axis_name is not None or n_local_samples is not None:
+            raise ValueError("pallas backend is single-device (shard the "
+                             "scenario axis instead, or use backend='xla')")
+        from ..ops.pallas.whole_body_kernel import make_whole_body_pallas_step
+
+        inner = make_whole_body_pallas_step(params)
+    elif backend == "xla":
+        inner = make_step(cfg, rollout_fn, cost_fn, axis_name, n_local_samples)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
 
     def step(state: MPPIState, obs: WholeBodyObs) -> Tuple[WholeBodyOutput, MPPIState]:
         qddot_prev = state.u_prev[0, N_BASE_ACTIONS:]
