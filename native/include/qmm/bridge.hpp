@@ -32,6 +32,12 @@ enum class MsgType : uint32_t {
   kTeleopArm = 6,    // 1 float: discrete op code (reference kinovaOper codes 1-16)
   kPing = 7,         // 0 floats
   kShutdown = 8,     // 0 floats
+  // Action interface (actionlib-style; see bridge/action.py for semantics):
+  kActionGoal = 9,      // [goal_id, task, params...]
+  kActionFeedback = 10, // [goal_id, status, error]
+  kActionResult = 11,   // [goal_id, status, error]
+  kActionCancel = 12,   // [goal_id]
+  kRpyt = 13,           // 4 floats: roll, pitch, yaw_rate, thrust (joystick)
 };
 
 struct Frame {

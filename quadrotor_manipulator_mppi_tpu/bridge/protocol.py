@@ -30,6 +30,15 @@ class MsgType(IntEnum):
     TELEOP_ARM = 6     # 1 float code
     PING = 7
     SHUTDOWN = 8
+    # Action interface (the reference's declared to-do, README.md:30-34 —
+    # actionlib-style goal/feedback/result/cancel semantics; bridge/action.py):
+    ACTION_GOAL = 9      # [goal_id, task, params...]
+    ACTION_FEEDBACK = 10 # [goal_id, status, error]
+    ACTION_RESULT = 11   # [goal_id, status, error]
+    ACTION_CANCEL = 12   # [goal_id]
+    # Joystick flight command (rotors_joy_interface's RollPitchYawrateThrust
+    # contract, joy.cpp): [roll, pitch, yaw_rate, thrust].
+    RPYT = 13
 
 
 @dataclass

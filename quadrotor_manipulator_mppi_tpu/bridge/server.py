@@ -25,11 +25,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..models import chain as chain_mod
 from ..models import kinova, rigid_body as rb
 from ..solver import arm as arm_solver
 from ..solver import drone as drone_solver
 from ..utils.pose import Pose
 from . import protocol as proto
+from .action import ActionManager, ActionStatus
 
 TELEOP_STEP_M = 0.3          # uav_teleop_node nudge (+-0.3 m)
 TELEOP_STEP_JOINT = np.deg2rad(10.0)  # robot_teleop_node nudge
@@ -59,6 +61,11 @@ class SolverSession:
         self.arm_nudge = np.zeros(7, np.float32)
         self.land = False
         self.gripper_cmd = 0.0
+        self.actions = ActionManager()
+        # Latest joystick flight command ([roll, pitch, yaw_rate, thrust],
+        # rotors_joy_interface contract) for plant adapters flying in
+        # attitude mode; None until a RPYT frame arrives.
+        self.rpyt = None
 
     def handle_states(self, payload) -> list:
         """ROBOT_STATES -> [ROBOT_CMD frame, DRONE_POSE frame]."""
@@ -97,10 +104,20 @@ class SolverSession:
         dout, self._drone_state = self._drone_step(self._drone_state, dobs)
         xdes = np.asarray(dout.xdes, np.float32)
 
-        return [
+        replies = [
             proto.Frame(proto.MsgType.ROBOT_CMD, [float(t) for t in tau_np]),
             proto.Frame(proto.MsgType.DRONE_POSE, [float(x) for x in xdes]),
         ]
+        goal = self.actions.active
+        if goal is not None and goal.status == ActionStatus.ACTIVE:
+            ee_pos, _ = chain_mod.forward_kinematics_posquat(
+                self._spec, q, base_pos=base_pose.position, base_quat=base_pose.quat
+            )
+            ee_err_l1 = float(jnp.sum(jnp.abs(ee_pos - self.ee_target.position)))
+            replies.extend(
+                self.actions.on_tick(ee_err_l1, np.asarray(base_pos, np.float32))
+            )
+        return replies
 
     def handle_teleop_uav(self, code: int) -> None:
         """Reference gear_callback code table (controller.cpp:741-809)."""
@@ -189,5 +206,13 @@ class BridgeServer:
                         session.handle_teleop_uav(int(frame.payload[0]))
                     elif frame.type == proto.MsgType.TELEOP_ARM:
                         session.handle_teleop_arm(int(frame.payload[0]))
+                    elif frame.type == proto.MsgType.ACTION_GOAL:
+                        for reply in session.actions.handle_goal(frame.payload, session):
+                            conn.sendall(proto.encode(reply))
+                    elif frame.type == proto.MsgType.ACTION_CANCEL:
+                        for reply in session.actions.handle_cancel(frame.payload, session):
+                            conn.sendall(proto.encode(reply))
+                    elif frame.type == proto.MsgType.RPYT:
+                        session.rpyt = np.asarray(frame.payload[:4], np.float32)
                     elif frame.type == proto.MsgType.PING:
                         conn.sendall(proto.encode(proto.Frame(proto.MsgType.PING, [])))

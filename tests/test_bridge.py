@@ -165,3 +165,60 @@ def test_python_client_session():
     assert s.arm_nudge[0] == pytest.approx(np.deg2rad(10))
     s.handle_teleop_arm(2)
     assert s.arm_nudge[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_joystick_interface(native_build, tmp_path):
+    """rotors_joy_interface parity: synthetic Linux js_event records drive
+    qmm_teleop_joy, which must emit RPYT frames with the reference's axis
+    scaling (joy.cpp:80-99: roll dir -1 x 10 deg, thrust (v+1)/2 x 30 N,
+    yaw buttons +-45 deg/s)."""
+    import math
+    import socket
+    import struct
+    import threading
+
+    # Synthetic joystick stream: thrust axis full up, half roll, yaw-left
+    # button press (u32 time, s16 value, u8 type, u8 number).
+    events = [
+        struct.pack("<IhBB", 0, 32767, 0x02, 2),    # axis 2 (thrust) = +1
+        struct.pack("<IhBB", 1, 16384, 0x02, 0),    # axis 0 (roll) = +0.5
+        struct.pack("<IhBB", 2, 1, 0x01, 4),        # button 4 (yaw left) down
+    ]
+    dev = tmp_path / "js0"
+    dev.write_bytes(b"".join(events))
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    host, port = srv.getsockname()
+    frames = []
+
+    def capture():
+        conn, _ = srv.accept()
+        dec = proto.Decoder()
+        with conn:
+            while len(frames) < 3:
+                data = conn.recv(4096)
+                if not data:
+                    return
+                dec.feed(data)
+                frames.extend(dec.frames())
+
+    t = threading.Thread(target=capture, daemon=True)
+    t.start()
+    out = subprocess.run(
+        [os.path.join(native_build, "qmm_teleop_joy"),
+         "--host", host, "--port", str(port),
+         "--device", str(dev), "--max-events", "3"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    t.join(timeout=10)
+    assert len(frames) == 3
+    assert all(f.type == proto.MsgType.RPYT for f in frames)
+    # After event 1: thrust = (1+1)/2*30 = 30 N, everything else 0.
+    np.testing.assert_allclose(frames[0].payload, [0, 0, 0, 30.0], atol=1e-3)
+    # After event 2: roll = 0.5 * 10deg * (-1).
+    roll = frames[1].payload[0]
+    assert roll == pytest.approx(-0.5 * math.radians(10.0), rel=1e-3)
+    # After event 3: yaw rate = +45 deg/s while held.
+    assert frames[2].payload[2] == pytest.approx(math.radians(45.0), rel=1e-4)
+    srv.close()
