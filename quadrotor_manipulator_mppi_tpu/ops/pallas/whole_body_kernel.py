@@ -438,6 +438,8 @@ def make_whole_body_pallas_step(
     params,
     use_prng: bool = True,
     interpret: bool = False,
+    axis_name=None,
+    n_local_samples=None,
 ):
     """Build ``step(state, obs) -> (u_seq, new_state)`` — the fused
     drop-in for the XLA ``make_step`` pipeline inside
@@ -446,18 +448,25 @@ def make_whole_body_pallas_step(
     ``use_prng=False`` streams ``jax.random`` noise from HBM (same stream as
     the XLA solver — parity testing / reproducibility across backends);
     ``use_prng=True`` generates noise in-kernel (production; zero noise HBM
-    traffic).  Single-device: the softmin runs in XLA between the two
-    passes, so sharding this backend means shard_map around the whole step
-    (future work, ROADMAP).
+    traffic).
+
+    Multi-chip: trace with ``axis_name``/``n_local_samples`` inside
+    ``shard_map`` — each device runs the fused kernels on its local K-shard
+    and the softmin/update reductions between the two passes become ICI
+    collectives (pmin + three psums), the same communication pattern as the
+    sharded XLA path (``ops/weights.py``).  The per-device noise key is
+    folded exactly like ``solver.mppi.make_step``'s, so a sharded
+    explicit-noise solve reproduces the sharded XLA solve float-for-float.
     """
     from ...solver.mppi import MPPIState, _diag_sigma
 
     cfg, mp, cp = params.mppi, params.model, params.cost
     h, dt = cfg.n_horizon, cfg.dt
+    k_local = n_local_samples or cfg.n_samples
     if cfg.n_action != A_TOTAL:
         raise ValueError(f"whole-body kernel expects {A_TOTAL} actions")
-    if cfg.n_samples % TILE:
-        raise ValueError(f"n_samples must be a multiple of {TILE}")
+    if k_local % TILE:
+        raise ValueError(f"local sample count must be a multiple of {TILE}")
     if mp.control_mode not in ("attitude", "position"):
         raise ValueError("fused kernel supports attitude/position modes only")
     if cp.ori_mode != "log":
@@ -469,7 +478,7 @@ def make_whole_body_pallas_step(
     spec, oq, ot = _chain_constants()
     if mp.arm_tip != "link_7":
         raise ValueError("fused kernel bakes the link_7 tip frame")
-    n_tiles = cfg.n_samples // TILE
+    n_tiles = k_local // TILE
 
     consts = dict(
         h=h,
@@ -542,6 +551,10 @@ def make_whole_body_pallas_step(
 
     def step(state: MPPIState, obs) -> Tuple[jax.Array, MPPIState]:
         key, sub = jax.random.split(state.key)
+        if axis_name is not None:
+            # Same decorrelation as the XLA step (solver/mppi.py): fold the
+            # device index so shards draw disjoint noise from one seed.
+            sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
         sigma_live = (
             state.sigma if cfg.adaptive_sigma
             else jnp.asarray(sigma_base, jnp.float32)
@@ -574,7 +587,7 @@ def make_whole_body_pallas_step(
             )(seed_arr, sc, u_prev, cols, mats)
         else:
             noise = sampling.sample_noise(
-                sub, cfg.n_samples, h, A_TOTAL, sigma_live, jnp.float32
+                sub, k_local, h, A_TOTAL, sigma_live, jnp.float32
             )
             noise_t = noise.reshape(n_tiles, TILE, h, A_TOTAL).transpose(0, 3, 2, 1)
             s = pl.pallas_call(
@@ -588,8 +601,13 @@ def make_whole_body_pallas_step(
 
         s_flat = s.reshape(-1)
         rho = jnp.min(s_flat)
+        if axis_name is not None:
+            rho = jax.lax.pmin(rho, axis_name)
         w = jnp.exp((rho - s_flat) / cfg.lam)
-        w = w / jnp.sum(w)
+        eta = jnp.sum(w)
+        if axis_name is not None:
+            eta = jax.lax.psum(eta, axis_name)
+        w = w / eta
         w_tiles = w.reshape(n_tiles, TILE)
 
         out_shapes = (
@@ -615,7 +633,10 @@ def make_whole_body_pallas_step(
                 interpret=interpret,
             )(noise_t, w_tiles)
 
-        du = jnp.sum(du_part, axis=0).reshape(A_TOTAL, h).T  # (H, A)
+        du = jnp.sum(du_part, axis=0)
+        if axis_name is not None:
+            du = jax.lax.psum(du, axis_name)
+        du = du.reshape(A_TOTAL, h).T  # (H, A)
         if cfg.savgol_window:
             du = savgol.smooth(du, cfg.savgol_window, cfg.savgol_polyorder)
         u = u_prev + du
@@ -629,6 +650,8 @@ def make_whole_body_pallas_step(
         sigma_next = state.sigma
         if cfg.adaptive_sigma:
             m2 = jnp.sum(m2_part, axis=0) / h
+            if axis_name is not None:
+                m2 = jax.lax.psum(m2, axis_name)
             var = (1.0 - cfg.adapt_beta) * state.sigma**2 + cfg.adapt_beta * m2
             sigma_next = jnp.clip(
                 jnp.sqrt(var),

@@ -171,13 +171,17 @@ def make_whole_body_solver(
     axis_name: Optional[str] = None,
     n_local_samples: Optional[int] = None,
     backend: str = "xla",
+    pallas_use_prng: bool = True,
+    pallas_interpret: bool = False,
 ):
     """Build (step, init) for the whole-body solve.
 
-    backend="xla" is the reference pipeline (sharding-ready via
-    ``axis_name``); backend="pallas" swaps in the fused single-chip kernel
-    (``ops/pallas/whole_body_kernel``) — same step contract, ~4x faster on
-    the compute-bound configs (noise/rollout/FK/cost never leave VMEM).
+    backend="xla" is the reference pipeline; backend="pallas" swaps in the
+    fused kernel (``ops/pallas/whole_body_kernel``) — same step contract,
+    ~4x faster on the compute-bound configs (noise/rollout/FK/cost never
+    leave VMEM).  Both backends are sharding-ready: trace with ``axis_name``
+    + ``n_local_samples`` inside ``shard_map`` (``parallel/sharded.py``
+    does this) and the sample-axis reductions become ICI collectives.
     """
     cfg = params.mppi
     cp = params.cost
@@ -232,12 +236,15 @@ def make_whole_body_solver(
         return s
 
     if backend == "pallas":
-        if axis_name is not None or n_local_samples is not None:
-            raise ValueError("pallas backend is single-device (shard the "
-                             "scenario axis instead, or use backend='xla')")
         from ..ops.pallas.whole_body_kernel import make_whole_body_pallas_step
 
-        inner = make_whole_body_pallas_step(params)
+        inner = make_whole_body_pallas_step(
+            params,
+            use_prng=pallas_use_prng,
+            interpret=pallas_interpret,
+            axis_name=axis_name,
+            n_local_samples=n_local_samples,
+        )
     elif backend == "xla":
         inner = make_step(cfg, rollout_fn, cost_fn, axis_name, n_local_samples)
     else:

@@ -134,3 +134,46 @@ def test_softmin_weights_sharded_equals_global(rng):
     w = w_ops.softmin_weights(s_global, 0.1)
     du = np.asarray(w_ops.weighted_noise_average(w, noise_global))
     np.testing.assert_allclose(du_sharded, du, rtol=1e-5, atol=1e-6)
+
+
+@requires_8
+def test_sharded_fused_pallas_matches_sharded_xla():
+    """ROADMAP item closed: shard_map around the fused whole-body kernel.
+
+    With explicit noise (use_prng=False) the fused step consumes the same
+    fold_in(key, shard_index) noise stream as the sharded XLA step, so the
+    two sharded backends must agree float-for-float — including the
+    pmin/psum collectives between the kernel's two passes.
+    """
+    import dataclasses
+
+    n_dev = 8
+    mesh = mesh_mod.make_mesh(n_sample_shards=n_dev, n_scenario_shards=1)
+    params = wb.WholeBodyMPPIParams()
+    params = dataclasses.replace(
+        params,
+        mppi=dataclasses.replace(params.mppi, n_samples=128 * n_dev, n_horizon=12),
+    )
+
+    step_x, init = make_sharded_solver(
+        wb.make_whole_body_solver, mesh, params=params
+    )
+    step_f, _ = make_sharded_solver(
+        wb.make_whole_body_solver, mesh, params=params,
+        backend="pallas", pallas_use_prng=False, pallas_interpret=True,
+    )
+
+    states = jax.tree.map(lambda x: x[None], init(jax.random.key(3)))
+    obs = jax.tree.map(lambda x: x[None], wb.default_obs())
+    with jax.set_mesh(mesh):
+        out_x, st_x = jax.jit(step_x)(states, obs)
+        out_f, st_f = jax.jit(step_f)(states, obs)
+        # Second step from the produced states: warm start + key threading.
+        out_x2, _ = jax.jit(step_x)(st_x, obs)
+        out_f2, _ = jax.jit(step_f)(st_f, obs)
+    np.testing.assert_allclose(
+        np.asarray(out_f.u_seq), np.asarray(out_x.u_seq), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f2.u_seq), np.asarray(out_x2.u_seq), rtol=4e-3, atol=4e-3
+    )
