@@ -473,6 +473,8 @@ def make_whole_body_pallas_step(
         raise ValueError("fused kernel implements the 'log' orientation metric")
     if cfg.zero_mean_noise:
         raise ValueError("zero_mean_noise unsupported in the fused kernel")
+    if cfg.adaptive_sigma and cfg.sigma_scale_fn is not None:
+        raise ValueError("adaptive_sigma and sigma_scale_fn are exclusive")
     if mp.control_mode == "attitude" and not mp.time_parallel:
         raise ValueError("fused kernel is parallel-in-time only")
     spec, oq, ot = _chain_constants()
@@ -559,6 +561,10 @@ def make_whole_body_pallas_step(
             state.sigma if cfg.adaptive_sigma
             else jnp.asarray(sigma_base, jnp.float32)
         )
+        if cfg.sigma_scale_fn is not None:
+            # Task-space exploration scheduling (see MPPIConfig) — sigma is
+            # already a dynamic kernel input, so the schedule costs nothing.
+            sigma_live = sigma_live * cfg.sigma_scale_fn(obs)
         sc = jnp.concatenate([
             obs.state.q.astype(jnp.float32),
             obs.state.qdot.astype(jnp.float32),

@@ -289,19 +289,37 @@ def run_whole_body_full(args):
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
-    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+    final, logs = jax.jit(run)(
         plant, init(jax.random.key(args.seed)), obs0.ee_target, obs0.base_target
     )
-    e = np.asarray(ee_err)
+    e = np.asarray(logs.ee_err)
+    l1_cmd = np.asarray(logs.l1_cmd)
+    reached = l1_cmd < 0.005
+    tail = slice(-min(300, args.steps // 3), None)
     _finish(
         "whole-body-full",
         {
             "min_ee_err_m": round(float(e.min()), 4),
             "final_ee_err_m": round(float(e[-1]), 4),
-            "max_tilt_rad": round(float(np.asarray(tilt).max()), 3),
-            "min_alt_m": round(float(np.asarray(base_pos)[:, 2].min()), 3),
+            # The reference's reach gate (mppi.py:117): L1 of the commanded
+            # EE pose < 5 mm.
+            "reach_gate_first_step": int(np.argmax(reached)) if reached.any() else -1,
+            "l1_cmd_tail_mean_mm": round(float(l1_cmd[tail].mean()) * 1000, 2),
+            "l1_cmd_tail_max_mm": round(float(l1_cmd[tail].max()) * 1000, 2),
+            "l1_meas_tail_mean_mm": round(
+                float(np.asarray(logs.l1_meas)[tail].mean()) * 1000, 2
+            ),
+            "max_tilt_rad": round(float(np.asarray(logs.tilt).max()), 3),
+            "min_alt_m": round(float(np.asarray(logs.base_pos)[:, 2].min()), 3),
         },
-        {"ee_err": e, "base_pos": np.asarray(base_pos), "tilt": np.asarray(tilt)},
+        {
+            "ee_err": e,
+            "l1_cmd": l1_cmd,
+            "l1_meas": np.asarray(logs.l1_meas),
+            "ori_err": np.asarray(logs.ori_err),
+            "base_pos": np.asarray(logs.base_pos),
+            "tilt": np.asarray(logs.tilt),
+        },
         args,
     )
 
@@ -386,9 +404,10 @@ def run_pick_weight(args):
 
     # Phase 1: reach the grasp pose.
     run1 = wbl.make_whole_body_episode(params, n_control_steps=half)
-    (plant, solver, _, _), (e1, p1, t1) = jax.jit(run1)(
+    (plant, solver, _, _), log1 = jax.jit(run1)(
         plant, solver, grasp_target, obs0.base_target
     )
+    e1, t1 = log1.ee_err, log1.tilt
     grasp_err = float(np.asarray(e1)[-100:].mean())
 
     # Gripper closes -> payload attaches (plant-side mass change).
@@ -401,10 +420,10 @@ def run_pick_weight(args):
         ),
     )
     run2 = wbl.make_whole_body_episode(params2, n_control_steps=half)
-    (plant, solver, _, _), (e2, p2, t2) = jax.jit(run2)(
+    (plant, solver, _, _), log2 = jax.jit(run2)(
         plant, solver, lift_target, obs0.base_target
     )
-    e2 = np.asarray(e2)
+    e2, t2 = np.asarray(log2.ee_err), log2.tilt
     _finish(
         "pick-weight",
         {

@@ -53,6 +53,23 @@ class WholeBodyLoopConfig:
     # predicted trajectory is a smooth carrot (the reference's xdes
     # semantics, drone.py:239-241, with a slightly longer lead).
     setpoint_lookahead: int = 10
+    # Tube feedback around the MPPI plan (the deterministic fine-positioning
+    # layer): a damped-least-squares arm servo on the measured EE *pose*
+    # residual (position + rotation-vector orientation), added to the
+    # solver's qdes.  MPPI's stochastic update has a noise floor (du is a
+    # softmin-weighted average of sampled noise — it dithers around the
+    # optimum at the sigma scale), and its optimum trades position against
+    # orientation; the servo minimizes the same 6-DoF pose error
+    # deterministically, so near the target the two layers agree.  The gate
+    # is ~0 beyond tube_radius, so MPPI alone steers the transient, and ~1
+    # inside, where the local linearization is exact.  This is what closes
+    # the reference's reach criterion (sum |dp| < 0.005 m, mppi.py:117) on
+    # the full plant.
+    tube_gain: float = 0.8
+    tube_radius: float = 0.08   # gate distance [m]; 0 disables
+    tube_mu: float = 3e-4       # DLS damping
+    tube_clip: float = 0.05     # per-joint correction clamp [rad]
+    tube_ori_weight: float = 0.3  # rad -> m exchange rate in the residual
 
 
 class WholeBodyPlant(NamedTuple):
@@ -60,6 +77,23 @@ class WholeBodyPlant(NamedTuple):
     q: Array                # (7,)
     qdot: Array             # (7,)
     ctrl: fc.FlightCtrlState  # inner-loop state (used by position mode)
+
+
+class WholeBodyLog(NamedTuple):
+    """Per-control-step episode telemetry.
+
+    ``l1_cmd`` is the reference's own reach metric (``mppi.py:95-117``):
+    L1 position error of the FK of the COMMANDED qdes at the measured base
+    pose, gated at 0.005 m.  ``ee_err``/``l1_meas`` measure the physical
+    plant EE — stricter than anything the reference checks.
+    """
+
+    ee_err: Array    # L2 measured EE position error [m]
+    base_pos: Array  # (3,)
+    tilt: Array      # |(roll, pitch)| [rad]
+    l1_cmd: Array    # reference reach-gate metric [m]
+    l1_meas: Array   # L1 measured EE position error [m]
+    ori_err: Array   # measured EE geodesic orientation error [rad]
 
 
 def init_plant(
@@ -167,6 +201,34 @@ def make_whole_body_episode(
         )
         out, solver = step(solver, obs)
 
+        qdes = out.qdes
+        if cfg.tube_radius > 0.0 and cfg.tube_gain > 0.0:
+            from ..models import chain as chain_mod
+
+            def pose_err(qq):
+                """6-vector pose error to the target: [dp, w_ori * rotvec]."""
+                p, ee_q = chain_mod.forward_kinematics_posquat(
+                    spec, qq, base_pos=plant.base.pos, base_quat=plant.base.quat
+                )
+                e_p = ee_target.position - p
+                qe = rot.quat_multiply(ee_target.quat, rot.quat_conjugate(ee_q))
+                # Small-angle rotation vector: 2 sign(w) * vec (sign keeps
+                # the short way around on the double cover).
+                e_o = 2.0 * jnp.sign(qe[0]) * qe[1:]
+                return jnp.concatenate([e_p, cfg.tube_ori_weight * e_o])
+
+            err6 = pose_err(plant.q)
+            de_dq = jax.jacfwd(pose_err)(plant.q)                  # (6, 7)
+            d = jnp.linalg.norm(err6[:3])
+            gate = jax.nn.sigmoid(
+                (cfg.tube_radius - d) / (0.25 * cfg.tube_radius)
+            )
+            # Gauss-Newton/DLS step on ||err6||: de_dq dq = -err6.
+            a = de_dq @ de_dq.T + cfg.tube_mu * jnp.eye(6, dtype=err6.dtype)
+            dq = -de_dq.T @ jnp.linalg.solve(a, err6)
+            dq = jnp.clip(dq, -cfg.tube_clip, cfg.tube_clip)
+            qdes = qdes + cfg.tube_gain * gate * dq
+
         # Arm torque: track the MPPI setpoint (reference phase-2 law).
         m = rb.mass_matrix(spec, inertials, plant.q)
         base_rot = rot.quat_to_matrix(plant.base.quat)
@@ -174,7 +236,7 @@ def make_whole_body_episode(
             spec, inertials, plant.q, plant.qdot, base_rot=base_rot
         )
         tau_arm = m @ (
-            cfg.track_kp * (out.qdes - plant.q) - cfg.track_kd * plant.qdot
+            cfg.track_kp * (qdes - plant.q) - cfg.track_kd * plant.qdot
         ) + nle
         effort = jnp.asarray(spec.effort, tau_arm.dtype)
         tau_arm = jnp.clip(tau_arm, -effort, effort)
@@ -206,7 +268,22 @@ def make_whole_body_episode(
         )
         ee_err = jnp.linalg.norm(ee_pos - ee_target.position)
         tilt = jnp.linalg.norm(cl.rpy_of(plant.base)[:2])
-        log = (ee_err, plant.base.pos, tilt)
+        _, ee_q = chain_mod.forward_kinematics_posquat(
+            spec, plant.q, base_pos=plant.base.pos, base_quat=plant.base.quat
+        )
+        qe = rot.quat_multiply(ee_target.quat, rot.quat_conjugate(ee_q))
+        ori_err = 2.0 * jnp.arccos(jnp.clip(jnp.abs(qe[0]), 0.0, 1.0))
+        cmd_pos, _ = chain_mod.forward_kinematics_posquat(
+            spec, qdes, base_pos=plant.base.pos, base_quat=plant.base.quat
+        )
+        log = WholeBodyLog(
+            ee_err=ee_err,
+            base_pos=plant.base.pos,
+            tilt=tilt,
+            l1_cmd=jnp.sum(jnp.abs(cmd_pos - ee_target.position)),
+            l1_meas=jnp.sum(jnp.abs(ee_pos - ee_target.position)),
+            ori_err=ori_err,
+        )
         return (plant, solver, ee_target, base_target), log
 
     def run(plant: WholeBodyPlant, solver: MPPIState,

@@ -77,6 +77,15 @@ class MPPIConfig:
     adapt_beta: float = 0.1
     sigma_min_scale: float = 0.3
     sigma_max_scale: float = 3.0
+    # Task-space exploration scheduling: an optional traceable
+    # ``obs -> scalar`` multiplier on the live sigma for THIS solve (state
+    # stores the unscaled sigma).  MPPI's update du is a softmin-weighted
+    # average of the sampled noise, so even at the optimum it dithers at the
+    # sigma scale; scheduling sigma by distance-to-go (e.g. current EE
+    # error) removes that noise floor near convergence while keeping full
+    # exploration during the transient.  The reference has no analog — its
+    # sigma is a hardcoded constant (standard_normal_noise.py:17).
+    sigma_scale_fn: Optional[Callable[[Any], Array]] = None
 
 
 class MPPIState(NamedTuple):
@@ -116,6 +125,10 @@ def make_step(
     per-device shard when the sample axis is sharded (total K stays
     ``config.n_samples``; weights normalize globally via the collectives)."""
     k_local = n_local_samples or config.n_samples
+    if config.adaptive_sigma and config.sigma_scale_fn is not None:
+        # The CVIS second-moment update would absorb the schedule's scale^2
+        # into the carried sigma — the two mechanisms fight.  Pick one.
+        raise ValueError("adaptive_sigma and sigma_scale_fn are exclusive")
 
     def step(state: MPPIState, obs: Any) -> Tuple[Array, MPPIState]:
         key, sub = jax.random.split(state.key)
@@ -123,6 +136,8 @@ def make_step(
             # Decorrelate shards: fold the device index into the key.
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
         sigma_live = state.sigma if config.adaptive_sigma else config.sigma
+        if config.sigma_scale_fn is not None:
+            sigma_live = jnp.asarray(sigma_live) * config.sigma_scale_fn(obs)
         noise = sampling.sample_noise(
             sub, k_local, config.n_horizon, config.n_action,
             sigma_live, state.u_prev.dtype,

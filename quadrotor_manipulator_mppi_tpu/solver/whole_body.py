@@ -89,6 +89,37 @@ def default_action_bounds():
     return lo, hi
 
 
+def ee_error_sigma_schedule(r0: float = 0.25, floor: float = 0.02):
+    """Exploration schedule for the whole-body task: scale sigma by the
+    CURRENT end-effector distance-to-go, ``clip(|p_ee - p*| / r0, floor, 1)``.
+
+    MPPI's update is a softmin-weighted noise average, so the held plan
+    dithers at the sigma scale even at the optimum (measured ~50 mrad of
+    qdes dither -> ~2 cm EE noise floor at arm sigma 2.0).  Scheduling by
+    distance-to-go keeps exploration hot during the transient and collapses
+    the noise floor near the target — the fix for the reference's 5 mm
+    reach gate (mppi.py:117) on the full plant.  One 7-joint FK per solve.
+    """
+    from ..models.whole_body import _quat_from_rpy
+
+    def scale(obs: "WholeBodyObs") -> Array:
+        from ..models import chain as chain_mod
+        from . import whole_body as _wb
+
+        spec = _wb._SCHEDULE_CHAIN
+        bq = _quat_from_rpy(obs.state.base.rpy)
+        ee_pos, _ = chain_mod.forward_kinematics_posquat(
+            spec, obs.state.q, base_pos=obs.state.base.pos, base_quat=bq
+        )
+        d = jnp.linalg.norm(ee_pos - obs.ee_target.position)
+        return jnp.clip(d / r0, floor, 1.0)
+
+    return scale
+
+
+_SCHEDULE_CHAIN = kinova.chain("link_7")
+
+
 def position_mode_params(
     n_samples: int = 4096, n_horizon: int = 50
 ) -> "WholeBodyMPPIParams":
@@ -98,10 +129,10 @@ def position_mode_params(
 
     Arm exploration starts hot (sigma 2.0 rad/s^2 — the arm's fast dynamics
     do the fine end-effector positioning while the slow base loop
-    coarse-positions) and the CVIS-style covariance adaptation anneals it as
-    the weights concentrate near the target: measured full-plant reach
-    3.6 mm minimum / ~2 cm held EE error (the reference's reach tolerance is
-    5 mm on its commanded pose)."""
+    coarse-positions) and the distance-to-go schedule
+    (:func:`ee_error_sigma_schedule`) collapses it near the target; with the
+    tube-feedback servo (``sim/whole_body_loop``) the full plant meets the
+    reference's 5 mm reach tolerance (measured — see BASELINE.md)."""
     sigma = np.asarray([0.25, 0.25, 0.25, 0.1] + [2.0] * kinova.N_JOINTS)
     lo = np.asarray([-1.5, -1.5, -1.0, -0.6] + [-20.0] * kinova.N_JOINTS)
     hi = np.asarray([1.5, 1.5, 1.0, 0.6] + [20.0] * kinova.N_JOINTS)
@@ -118,9 +149,7 @@ def position_mode_params(
             u_max=hi,
             warm_start_decay=0.9,
             nominal_action=np.zeros(N_ACTIONS),
-            adaptive_sigma=True,
-            adapt_beta=0.05,
-            sigma_min_scale=0.1,
+            sigma_scale_fn=ee_error_sigma_schedule(),
         ),
         model=WholeBodyParams(control_mode="position"),
         cost=WholeBodyCostParams(

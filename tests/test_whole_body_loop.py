@@ -31,36 +31,48 @@ def test_attitude_mode_full_plant_reaches_then_stays_upright():
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
-    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+    final, logs = jax.jit(run)(
         plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
     )
-    e = np.asarray(ee_err)
-    p = np.asarray(base_pos)
-    t = np.asarray(tilt)
+    e = np.asarray(logs.ee_err)
+    p = np.asarray(logs.base_pos)
+    t = np.asarray(logs.tilt)
     assert np.all(np.isfinite(e))
     assert e.min() < 0.35, f"never approached: min {e.min():.3f}"
     assert p[:, 2].min() > 0.5, f"lost altitude: {p[:, 2].min():.2f}"
     assert t.max() < 0.7, f"tipped: max tilt {t.max():.2f}"
 
 
-def test_position_cascade_full_plant_stable_convergence():
+def test_position_cascade_meets_reach_gate():
     """Position-cascade mode (MPPI setpoint offsets -> smooth-carrot
-    backstepping inner loop): monotone-ish EE convergence with essentially
-    zero tilt over 6 s on the full plant — the robust whole-body config."""
+    backstepping inner loop + tube-feedback arm servo): converges on the
+    full plant and HOLDS the end effector within the regression bound of
+    the reference's reach gate.
+
+    The reference's criterion (mppi.py:95-117, pose.py:121-123) is L1
+    position error of the commanded EE pose < 5 mm; measured on TPU at the
+    flagship K=4096/H=50 the loop holds L1_cmd < 2.5 mm and L1_measured
+    < 5 mm across seeds (see benchmarks/artifacts/ and the tpu-marked
+    test).  This CPU-sized run (K=256) asserts the 2x regression bound:
+    1 cm on both the commanded gate and the measured error."""
     params = wbs.position_mode_params(n_samples=256, n_horizon=50)
-    run = wbl.make_whole_body_episode(params, n_control_steps=600)
+    run = wbl.make_whole_body_episode(params, n_control_steps=700)
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
-    final, (ee_err, base_pos, tilt) = jax.jit(run)(
+    final, logs = jax.jit(run)(
         plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
     )
-    e = np.asarray(ee_err)
-    t = np.asarray(tilt)
-    p = np.asarray(base_pos)
+    e = np.asarray(logs.ee_err)
+    t = np.asarray(logs.tilt)
+    p = np.asarray(logs.base_pos)
+    l1_cmd = np.asarray(logs.l1_cmd)
+    l1_meas = np.asarray(logs.l1_meas)
+    tail = slice(-200, None)
     assert np.all(np.isfinite(e))
-    assert e[-1] < e[0] * 0.5, f"no convergence: {e[0]:.3f} -> {e[-1]:.3f}"
-    assert e.min() < 0.2, f"min ee {e.min():.3f}"
+    assert (l1_cmd < 0.005).any(), f"never reached the 5 mm gate: min {l1_cmd.min():.4f}"
+    assert l1_cmd[tail].max() < 0.010, f"gate regressed: {l1_cmd[tail].max():.4f}"
+    assert l1_meas[tail].max() < 0.010, f"measured EE regressed: {l1_meas[tail].max():.4f}"
     assert t.max() < 0.1, f"tilt {t.max():.3f}"
     assert p[:, 2].min() > 1.4, f"altitude {p[:, 2].min():.2f}"
 
