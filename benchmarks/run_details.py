@@ -175,6 +175,38 @@ def main(which):
         )
         log("wbfused done", details["whole_body_obstacles_fused_K16384_H100"])
 
+    if "sharded" in which:
+        # The production (fused Pallas, in-kernel PRNG) step traced under
+        # shard_map on a 1-device mesh — the multi-chip code path on the one
+        # real chip.  Compared against the headline unsharded number this
+        # bounds the sharding overhead (collectives on a 1-device mesh are
+        # no-ops, so any delta is shard_map tracing/layout cost).
+        from quadrotor_manipulator_mppi_tpu.parallel import mesh as mesh_mod
+        from quadrotor_manipulator_mppi_tpu.parallel.sharded import (
+            make_sharded_solver,
+        )
+
+        mesh = mesh_mod.make_mesh(n_sample_shards=1, n_scenario_shards=1)
+        sparams = wb.WholeBodyMPPIParams(
+            mppi=MPPIConfig(
+                n_samples=4096, n_horizon=50, n_action=wb.N_ACTIONS,
+                dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
+            )
+        )
+        sstep, sinit = make_sharded_solver(
+            wb.make_whole_body_solver, mesh, params=sparams, backend="pallas"
+        )
+        sstates = jax.tree.map(lambda x: x[None], sinit(jax.random.key(0)))
+        sobs = jax.tree.map(lambda x: x[None], wb.default_obs())
+        with jax.set_mesh(mesh):
+            jsstep = jax.jit(sstep)
+            out, _ = jsstep(sstates, sobs)
+            jax.block_until_ready(out)
+            details["whole_body_sharded_pallas_1shard_K4096_H50"] = bench_fn(
+                lambda: jsstep(sstates, sobs)[0].u_seq
+            )
+        log("sharded done", details["whole_body_sharded_pallas_1shard_K4096_H50"])
+
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps({"updated": sorted(which)}))

@@ -9,9 +9,18 @@ axis with no communication at all.
 
 Equivalence contract (tested on the virtual CPU mesh): because softmin
 weights normalize globally, a sharded solve with the same *global* noise set
-equals the single-chip solve up to reduction reassociation — and the
-per-device keys are constructed so the global noise set is reproducible for
-any shard count at fixed seed.
+equals the single-chip solve up to reduction reassociation
+(``tests/test_parallel.py`` reconstructs the 8-shard noise layout on one
+device and checks float-level agreement, for both the XLA and fused-Pallas
+backends).
+
+Note the noise set is a function of the SHARD LAYOUT: each device draws its
+local K-shard from ``fold_in(key, shard_index)``, so re-sharding the same
+seed across a different device count yields a *different* (equally valid)
+global sample set.  Runs are reproducible at fixed seed + fixed shard
+count; cross-shard-count bitwise reproducibility would require per-sample
+key folding (K splits instead of n_dev), which costs one key-derivation per
+sample and is not worth it for a Monte-Carlo solver.
 """
 
 from __future__ import annotations

@@ -161,11 +161,18 @@ def make_whole_body_episode(
         ctrl = plant.ctrl
 
         if mode == "attitude":
-            # Plant-side attitude PD — the same law the rollout models.
+            # Plant-side attitude PD — the same law the rollout models —
+            # plus the arm gravity-moment feedforward.  The reference's own
+            # flight controller feeds forward exactly this wrench
+            # (harrier_grav_feedback, controller.cpp:541-560,587-610);
+            # without it the constant configuration-dependent arm moment
+            # biases the PD attitude, and the resulting steady tilt
+            # integrates into the lateral drift the rollout (which models a
+            # disturbance-free loop) cannot predict.
             rpy = cl.rpy_of(plant.base)
             tau = inertia * (
                 kp_att * (action_cmd[1:4] - rpy) - kd_att * plant.base.omega
-            )
+            ) - tau_g
             wrench_cmd = jnp.concatenate([action_cmd[0:1], tau])
         elif mode == "position":
             # Backstepping inner loop tracks the MPPI position setpoint —

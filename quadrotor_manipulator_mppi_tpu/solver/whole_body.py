@@ -37,8 +37,16 @@ N_ACTIONS = N_BASE_ACTIONS + kinova.N_JOINTS  # 11
 
 def default_sigma() -> np.ndarray:
     """Per-action exploration scales for the default ("attitude") mode:
-    [thrust N, roll/pitch/yaw setpoint rad, qddot x7]."""
-    return np.asarray([30.0, 0.15, 0.15, 0.1] + [1.0] * kinova.N_JOINTS)
+    [thrust N, roll/pitch/yaw setpoint rad, qddot x7].
+
+    Thrust sigma is deliberately small (8 N around the ~199 N hover
+    nominal): the plant's rotor lag is ASYMMETRIC (tau_up 0.0125 <
+    tau_down 0.025, gazebo_motor_model.cpp via models/multirotor.py), so
+    zero-mean thrust dither rectifies into a net upward bias of order
+    sigma*(tau_down-tau_up)/(tau_down+tau_up) — at the old sigma=30 that
+    was ~10 N (~0.5 m/s^2 of un-modeled climb), the root cause of the
+    attitude-mode altitude runaway."""
+    return np.asarray([8.0, 0.08, 0.08, 0.05] + [1.0] * kinova.N_JOINTS)
 
 
 def wrench_sigma() -> np.ndarray:
@@ -176,6 +184,7 @@ class WholeBodyMPPIParams:
             u_max=default_action_bounds()[1],
             warm_start_decay=0.9,
             nominal_action=default_nominal_action(),
+            sigma_scale_fn=ee_error_sigma_schedule(),
         )
     )
     model: WholeBodyParams = field(default_factory=WholeBodyParams)

@@ -18,16 +18,24 @@ def small_params(k=256, h=50):
     )
 
 
-def test_attitude_mode_full_plant_reaches_then_stays_upright():
+def test_attitude_mode_full_plant_meets_reach_gate():
     """MPPI (attitude mode) on the FULL plant (quaternion body, rotor lag,
-    arm forward dynamics, gravity-moment coupling): approaches the EE target
-    and keeps the vehicle airborne and upright over the 3 s window.
+    arm forward dynamics, gravity-moment coupling): reaches the reference's
+    5 mm gate and holds within the 1 cm regression bound.
 
-    Long-horizon station-keeping drift of the whole-body loop is a known
-    open item (see ROADMAP.md) — this pins the currently-working envelope.
-    """
-    params = small_params()
-    run = wbl.make_whole_body_episode(params, n_control_steps=300)
+    Round 1's >3 s drift is fixed by (a) the arm gravity-moment feedforward
+    in the plant-side attitude PD (the reference's own harrier_grav_feedback,
+    controller.cpp:541-560) and (b) small thrust sigma + the distance-to-go
+    schedule (the old sigma=30 N thrust dither rectified through the
+    asymmetric rotor lag into a ~10 N climb bias — see default_sigma).
+    Measured at flagship K=4096/800 steps: sub-mm hold on both metrics
+    (benchmarks/artifacts/parity_attitude_k4096_r02.json).  Attitude mode
+    needs K >= ~2048 — at lower K the softmin average can't cancel the
+    exploration noise against the lag rectification and the loop diverges
+    (position-cascade mode is the low-K-robust config); this test pins the
+    smallest stable configuration at a 4 s window (bounds ~4x measured)."""
+    params = small_params(k=2048)
+    run = wbl.make_whole_body_episode(params, n_control_steps=400)
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
@@ -37,10 +45,15 @@ def test_attitude_mode_full_plant_reaches_then_stays_upright():
     e = np.asarray(logs.ee_err)
     p = np.asarray(logs.base_pos)
     t = np.asarray(logs.tilt)
+    l1_cmd = np.asarray(logs.l1_cmd)
+    l1_meas = np.asarray(logs.l1_meas)
+    tail = slice(-100, None)
     assert np.all(np.isfinite(e))
-    assert e.min() < 0.35, f"never approached: min {e.min():.3f}"
+    assert (l1_cmd < 0.005).any(), f"never reached the gate: min {l1_cmd.min():.4f}"
+    assert l1_cmd[tail].max() < 0.010, f"gate regressed: {l1_cmd[tail].max():.4f}"
+    assert l1_meas[tail].max() < 0.020, f"measured regressed: {l1_meas[tail].max():.4f}"
     assert p[:, 2].min() > 0.5, f"lost altitude: {p[:, 2].min():.2f}"
-    assert t.max() < 0.7, f"tipped: max tilt {t.max():.2f}"
+    assert t.max() < 0.5, f"tipped: max tilt {t.max():.2f}"
 
 
 def test_position_cascade_meets_reach_gate():
