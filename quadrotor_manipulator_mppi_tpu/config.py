@@ -48,7 +48,36 @@ def to_dict(obj: Any) -> Any:
         return {k: to_dict(v) for k, v in obj.items()}
     if isinstance(obj, (np.floating, np.integer)):
         return obj.item()
+    if callable(obj) and not isinstance(obj, type):
+        # Exploration schedules carry a declarative identity
+        # (solver/whole_body.ee_error_sigma_schedule) so the config tree
+        # stays round-trippable; anonymous callables are a config bug.
+        spec = getattr(obj, "__qmm_schedule__", None)
+        if spec is None:
+            raise TypeError(
+                f"config field holds a non-serializable callable {obj!r}; "
+                "use a registered schedule factory (__qmm_schedule__)"
+            )
+        return {"__schedule__": spec}
     return obj
+
+
+_SCHEDULE_FACTORIES = {}
+
+
+def register_schedule(kind: str, factory) -> None:
+    _SCHEDULE_FACTORIES[kind] = factory
+
+
+def _build_schedule(spec: dict):
+    kind = spec["kind"]
+    if kind not in _SCHEDULE_FACTORIES:
+        # Lazy-register the built-ins on first use (avoids import cycles).
+        from .solver.whole_body import ee_error_sigma_schedule
+
+        _SCHEDULE_FACTORIES.setdefault("ee_error", ee_error_sigma_schedule)
+    factory = _SCHEDULE_FACTORIES[kind]
+    return factory(**{k: v for k, v in spec.items() if k != "kind"})
 
 
 _REGISTRY = {
@@ -70,6 +99,8 @@ def from_dict(data: Any) -> Any:
     if isinstance(data, dict):
         if "__ndarray__" in data:
             return np.asarray(data["__ndarray__"], dtype=data["dtype"])
+        if "__schedule__" in data:
+            return _build_schedule(data["__schedule__"])
         if "__dataclass__" in data:
             name = data["__dataclass__"]
             cls = _REGISTRY.get(name)

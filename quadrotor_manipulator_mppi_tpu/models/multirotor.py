@@ -84,6 +84,98 @@ class MultirotorParams:
         return float(np.sqrt(thrust / (self.n_rotors * self.motor_constant)))
 
 
+@dataclass(frozen=True)
+class GroundContactParams:
+    """Penalty-based ground contact at the landing-gear feet.
+
+    Replaces the inelastic clamp with physical contact forces (the Gazebo
+    side resolves gear-ground collision through ODE contacts; the reference
+    land logic relies on it after cutting motors below 0.5 m,
+    ``controller.cpp:271-278``).  Each foot is a spring-damper normal force
+    plus regularized Coulomb friction, applied at the foot's body-frame
+    offset so touchdown also produces righting torques.
+
+    Defaults: 4 feet under the arms; stiffness gives ~2.5 mm static
+    penetration for the 20 kg vehicle and a contact frequency (~63 rad/s)
+    comfortably resolved by the 1 kHz physics step.
+    """
+
+    stiffness: float = 2.0e4        # [N/m] per foot
+    damping: float = 400.0          # [N s/m] per foot
+    friction_mu: float = 0.8
+    friction_vel_eps: float = 0.05  # [m/s] Coulomb regularization
+    gear_height: float = 0.35       # [m] foot below base, gear extended
+    belly_height: float = 0.10      # [m] contact offset, gear retracted
+    # Foot x, y offsets (body frame) — under the rotor arms.
+    foot_xy: tuple = ((0.4, 0.43), (0.4, -0.43), (-0.4, 0.43), (-0.4, -0.43))
+
+
+def ground_contact_wrench(
+    contact: GroundContactParams,
+    pos: Array,
+    r: Array,
+    vel: Array,
+    omega: Array,
+    gear_ext,
+    ground_z: float,
+) -> tuple[Array, Array]:
+    """World-frame contact force and BODY-frame torque from all feet.
+
+    ``r`` is the body->world rotation; ``gear_ext`` in [0, 1] interpolates
+    the foot height between belly (retracted) and gear (extended).
+    """
+    dtype = pos.dtype
+    height = contact.belly_height + (
+        contact.gear_height - contact.belly_height
+    ) * jnp.asarray(gear_ext, dtype)
+    xy = jnp.asarray(contact.foot_xy, dtype)                      # (F, 2)
+    feet_b = jnp.concatenate(
+        [xy, -height * jnp.ones(xy.shape[:-1] + (1,), dtype)], axis=-1
+    )                                                             # (F, 3)
+    feet_w = pos[..., None, :] + jnp.einsum("...ij,fj->...fi", r, feet_b)
+    # Foot velocity: v + omega x r (omega body -> world).
+    omega_w = jnp.einsum("...ij,...j->...i", r, omega)
+    feet_v = vel[..., None, :] + jnp.cross(
+        jnp.broadcast_to(omega_w[..., None, :], feet_w.shape),
+        feet_w - pos[..., None, :],
+    )
+    pen = jnp.maximum(ground_z - feet_w[..., 2], 0.0)             # (F,)
+    active = pen > 0.0
+    fn = jnp.maximum(
+        contact.stiffness * pen - contact.damping * feet_v[..., 2], 0.0
+    ) * active
+    vt = feet_v[..., :2]
+    ft = -contact.friction_mu * fn[..., None] * vt / (
+        jnp.linalg.norm(vt, axis=-1, keepdims=True) + contact.friction_vel_eps
+    )
+    f_w = jnp.concatenate([ft, fn[..., None]], axis=-1)           # (F, 3)
+    force_w = jnp.sum(f_w, axis=-2)
+    # Torque about the COM, expressed in the body frame.
+    tau_w = jnp.sum(jnp.cross(feet_w - pos[..., None, :], f_w), axis=-2)
+    torque_b = jnp.einsum("...ji,...j->...i", r, tau_w)
+    return force_w, torque_b
+
+
+def payload_point_mass_effects(
+    mass: float, r_body: Array
+) -> tuple[Array, Array]:
+    """Rigidly grasped point payload at body-frame offset ``r_body``:
+    returns (gravity-torque coefficient, diagonal inertia increment).
+
+    The torque about the base COM in the body frame is
+    ``r_body x (m R^T g_world)`` — computed by the caller with the live
+    attitude; here we return ``m * r_body`` (the moment arm premultiplied)
+    and the parallel-axis diagonal inertia delta ``m (|r|^2 - r_i^2)``.
+    The reference models grasped payloads as pure added mass
+    (controller.cpp:159-161); carrying the moment and inertia transfer is
+    the physically complete version of the same rigid-attach assumption.
+    """
+    mr_arm = mass * r_body
+    r2 = jnp.sum(r_body * r_body, axis=-1, keepdims=True)
+    di = mass * (r2 - r_body * r_body)
+    return mr_arm, di
+
+
 class MultirotorState(NamedTuple):
     pos: Array          # (…, 3) world position
     quat: Array         # (…, 4) wxyz body->world
@@ -148,17 +240,30 @@ def step(
     extra_mass: float = 0.0,
     external_wrench_body: Optional[tuple] = None,
     wind_world: Optional[Array] = None,
+    contact: Optional[GroundContactParams] = None,
+    gear_ext=1.0,
+    extra_inertia: Optional[Array] = None,
 ) -> MultirotorState:
     """One semi-implicit Euler physics step (batched over leading dims).
 
     ``extra_mass`` models a rigidly attached payload/arm lump (the plant adds
     5.54 kg when the manipulator spawns — controller.cpp:159-161);
     ``external_wrench_body`` lets the whole-body model couple in arm reaction
-    forces; ``wind_world`` feeds the rotor-drag airspeed (wind plugin analog).
+    forces; ``wind_world`` feeds the rotor-drag airspeed (wind plugin analog);
+    ``extra_inertia`` is a diagonal body-inertia increment (grasped payload,
+    :func:`payload_point_mass_effects`).
+
+    Ground contact: with ``contact`` set, per-foot penalty forces
+    (:func:`ground_contact_wrench`, gear extension ``gear_ext``) — touchdown
+    dynamics emerge from the springs.  With ``contact=None``, the legacy
+    inelastic clamp (kept for rollout-model callers that only need "don't
+    fall through the floor").
     """
     dtype = state.pos.dtype
     m = params.mass + extra_mass
     inertia = jnp.asarray(params.inertia, dtype)
+    if extra_inertia is not None:
+        inertia = inertia + extra_inertia
 
     rotor_speed = rotor_lag(params, rotor_speed=state.rotor_speed,
                             rotor_cmd=rotor_cmd, dt=dt)
@@ -177,6 +282,14 @@ def step(
     acc = jnp.einsum("...ij,...j->...i", r, force_b) / m
     acc = acc - jnp.asarray([0.0, 0.0, GRAVITY], dtype)
 
+    if contact is not None:
+        cf_w, ct_b = ground_contact_wrench(
+            contact, state.pos, r, state.vel, state.omega, gear_ext,
+            params.ground_z,
+        )
+        acc = acc + cf_w / m
+        torque_b = torque_b + ct_b
+
     # Rotational dynamics in body frame (diagonal inertia).
     iw = inertia * state.omega
     omega_dot = (torque_b - jnp.cross(state.omega, iw)) / inertia
@@ -185,16 +298,17 @@ def step(
     pos = state.pos + vel * dt
     omega = state.omega + omega_dot * dt
 
-    # Inelastic ground contact: clamp to the plane, kill downward velocity
-    # and spin (a stand-in for Gazebo's ground collision during landing).
-    on_ground = pos[..., 2] <= params.ground_z
-    pos = pos.at[..., 2].set(jnp.maximum(pos[..., 2], params.ground_z))
-    grounded_vel = jnp.stack(
-        [jnp.zeros_like(vel[..., 0]), jnp.zeros_like(vel[..., 1]),
-         jnp.maximum(vel[..., 2], 0.0)], axis=-1
-    )
-    vel = jnp.where(on_ground[..., None], grounded_vel, vel)
-    omega = jnp.where(on_ground[..., None], 0.0, omega)
+    if contact is None:
+        # Inelastic ground contact: clamp to the plane, kill downward
+        # velocity and spin (the free-flight fallback).
+        on_ground = pos[..., 2] <= params.ground_z
+        pos = pos.at[..., 2].set(jnp.maximum(pos[..., 2], params.ground_z))
+        grounded_vel = jnp.stack(
+            [jnp.zeros_like(vel[..., 0]), jnp.zeros_like(vel[..., 1]),
+             jnp.maximum(vel[..., 2], 0.0)], axis=-1
+        )
+        vel = jnp.where(on_ground[..., None], grounded_vel, vel)
+        omega = jnp.where(on_ground[..., None], 0.0, omega)
 
     dq = rot.quat_from_axis_angle(omega * dt)
     quat = rot.quat_normalize(rot.quat_multiply(state.quat, dq))

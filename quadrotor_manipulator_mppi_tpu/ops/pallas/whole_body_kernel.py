@@ -23,7 +23,12 @@ Layout: samples ride the 128-lane axis; every per-channel quantity is an
 every horizon recurrence (arm double integration, PD-closed attitude or
 identified position response, rotor lag, velocity/position cumsums) is a
 host-precomputed (H, H) matrix applied on the MXU — the parallel-in-time
-factorization of ``models/whole_body.py`` carried into one kernel.
+factorization of ``models/whole_body.py`` carried into one kernel.  All
+three control modes are fused: attitude and position ride linear-response
+matmuls; the wrench mode's nonlinear attitude recurrence runs as an
+in-kernel Hillis-Steele quaternion prefix scan (log2(H) VPU rounds — the
+kernel form of the XLA path's ``lax.associative_scan``) with the arm
+gravity-moment coupling computed by a per-link COM chain walk in VMEM.
 
 Parity: with explicit noise (``use_prng=False``) the step consumes the same
 ``jax.random`` stream as the XLA solver, so the two paths agree to float
@@ -71,7 +76,10 @@ _SC_TPOS = 20        # 3: EE target position
 _SC_TQUAT = 23       # 4: EE target quaternion (wxyz)
 _SC_BTGT = 27        # 3: base station-keeping target
 _SC_SIGMA = 30       # 11: live per-action exploration std
-_SC_LEN = 41
+_SC_BQ0 = 41         # 4: initial base attitude quaternion (wxyz; wrench mode)
+_SC_OM0 = 45         # 3: initial body rates (wrench mode)
+_SC_GB = 48          # 3: gravity vector in the base frame (wrench mode)
+_SC_LEN = 51
 
 # Column layout of the per-step ``cols`` block (H, _COL_LEN).
 _COL_TCOL = 0        # dt * (t + 1)
@@ -160,6 +168,71 @@ def _chain_constants():
     return spec, oq, ot
 
 
+def _quat_from_rotvec(rx, ry, rz):
+    """Rotation-vector (H, T) blocks -> wxyz quaternion components, with a
+    series-safe small-angle branch (matches utils.rotations.quat_from_axis_angle)."""
+    th2 = rx * rx + ry * ry + rz * rz
+    th = jnp.sqrt(th2)
+    w = jnp.cos(0.5 * th)
+    k = jnp.where(
+        th > 1e-6, jnp.sin(0.5 * th) / jnp.maximum(th, 1e-30), 0.5 - th2 / 48.0
+    )
+    return (w, rx * k, ry * k, rz * k)
+
+
+def _quat_prefix_scan(q, h: int):
+    """Inclusive prefix product p_t = dq_0 * ... * dq_t along the H
+    (sublane) axis — a Hillis-Steele scan of log2(H) in-register rounds, the
+    kernel realization of the XLA path's ``lax.associative_scan`` over
+    quaternions (models/whole_body._base_rollout_parallel).  Order matters
+    (quaternions don't commute): earlier elements multiply on the LEFT."""
+    s = 1
+    fills = (1.0, 0.0, 0.0, 0.0)  # identity quaternion
+    while s < h:
+        shifted = tuple(
+            jnp.concatenate(
+                [jnp.full((s, comp.shape[1]), fill, comp.dtype), comp[:-s, :]],
+                axis=0,
+            )
+            for comp, fill in zip(q, fills)
+        )
+        q = _quat_mul(shifted, q)
+        s *= 2
+    return q
+
+
+def _arm_gravity_moment(q_joints, gb, *, consts):
+    """Arm gravity moment about the base origin, base frame, on (H, T)
+    blocks: tau = sum_j m_j (com_j(q) x g_b) — the in-kernel version of
+    ``models/whole_body.arm_gravity_torque_fast`` (reference feeds the same
+    tau_g forward, controller.cpp:541-560).  One chain walk, recording each
+    link's COM position."""
+    oq, ot = consts["oq"], consts["ot"]
+    coms, masses = consts["link_com"], consts["link_mass"]
+    gx, gy, gz = gb
+    one = jnp.ones_like(q_joints[0])
+    zero = jnp.zeros_like(q_joints[0])
+    tq = (one, zero, zero, zero)
+    tpx = tpy = tpz = zero
+    taux = tauy = tauz = zero
+    for j in range(kinova.N_JOINTS):
+        oqw, oqx, oqy, oqz = (float(v) for v in oq[j])
+        rx, ry, rz = _quat_rotate_const(tq, ot[j])
+        tpx, tpy, tpz = tpx + rx, tpy + ry, tpz + rz
+        half = 0.5 * q_joints[j]
+        cth, sth = jnp.cos(half), jnp.sin(half)
+        jq = (oqw * cth - oqz * sth, oqx * cth + oqy * sth,
+              oqy * cth - oqx * sth, oqz * cth + oqw * sth)
+        tq = _quat_mul(tq, jq)
+        cx, cy, cz = _quat_rotate_const(tq, coms[j])
+        px, py, pz = tpx + cx, tpy + cy, tpz + cz
+        m = float(masses[j])
+        taux += m * (py * gz - pz * gy)
+        tauy += m * (pz * gx - px * gz)
+        tauz += m * (px * gy - py * gx)
+    return taux, tauy, tauz
+
+
 def _fk_tip(base_q, base_p, q_joints, oq, ot):
     """Quaternion-chain FK of the 7-joint arm on (H, T) blocks.
 
@@ -217,6 +290,46 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         yaw = _mm(g_y, v[3]) + hom(4)
         om_y = _mm(go_y, v[3]) + hom(5)
         bq = _quat_from_rpy(roll, pitch, yaw)
+        bw, bx, by, bz = bq
+        zx = 2.0 * (bx * bz + bw * by)
+        zy = 2.0 * (by * bz - bw * bx)
+        zz = 1.0 - 2.0 * (bx * bx + by * by)
+        inv_m = 1.0 / c["mass"]
+        ax = zx * thrust * inv_m
+        ay = zy * thrust * inv_m
+        az = zz * thrust * inv_m - 9.81
+        cvx, cvy, cvz = _mm(lmat, ax), _mm(lmat, ay), _mm(lmat, az)
+        vel = (sc_ref[_SC_VEL0] + dt * cvx,
+               sc_ref[_SC_VEL0 + 1] + dt * cvy,
+               sc_ref[_SC_VEL0 + 2] + dt * cvz)
+        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * tcol + dt * dt * _mm(lmat, cvx),
+               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * tcol + dt * dt * _mm(lmat, cvy),
+               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * tcol + dt * dt * _mm(lmat, cvz))
+        omega_sq = om_r * om_r + om_p * om_p + om_y * om_y
+    elif c["mode"] == "wrench":
+        # Direct-wrench rollout (models/whole_body._base_rollout_parallel):
+        # rotor lag on the whole commanded wrench, arm gravity moment
+        # coupling, omega cumsum, quaternion prefix scan for attitude,
+        # velocity/position cumsums.
+        lmat, fmat = mats_ref[1], mats_ref[2]
+        if c["rotor_lag"]:
+            wrench = [_mm(fmat, v[i]) for i in range(4)]
+        else:
+            wrench = [v[i] for i in range(4)]
+        thrust, taux, tauy, tauz = wrench
+        if c["couple"]:
+            gb = (sc_ref[_SC_GB], sc_ref[_SC_GB + 1], sc_ref[_SC_GB + 2])
+            tgx, tgy, tgz = _arm_gravity_moment(q_joints, gb, consts=c)
+            taux, tauy, tauz = taux + tgx, tauy + tgy, tauz + tgz
+        ix, iy, iz = c["inertia"]
+        om_r = sc_ref[_SC_OM0] + (dt / ix) * _mm(lmat, taux)
+        om_p = sc_ref[_SC_OM0 + 1] + (dt / iy) * _mm(lmat, tauy)
+        om_y = sc_ref[_SC_OM0 + 2] + (dt / iz) * _mm(lmat, tauz)
+        dq = _quat_from_rotvec(om_r * dt, om_p * dt, om_y * dt)
+        prefix = _quat_prefix_scan(dq, c["h"])
+        q0 = (sc_ref[_SC_BQ0], sc_ref[_SC_BQ0 + 1],
+              sc_ref[_SC_BQ0 + 2], sc_ref[_SC_BQ0 + 3])
+        bq = _quat_mul(q0, prefix)
         bw, bx, by, bz = bq
         zx = 2.0 * (bx * bz + bw * by)
         zy = 2.0 * (by * bz - bw * bx)
@@ -335,8 +448,9 @@ def _normals_erfinv(shape) -> jax.Array:
     The argument is formed as (bits - (2^23 - 0.5)) / 2^23 rather than
     2u - 1: the latter rounds to exactly 1.0f for top bit patterns (f32 ulp
     at 1 is 2^-24) and ``erf_inv(1.0) = inf``; this form is exact in f32 and
-    caps at +-(1 - 2^-24) -> |z| <= 3.83 (tail mass beyond that is 1.3e-4 —
-    irrelevant for exploration noise).
+    caps at +-(1 - 2^-24) -> |z| = sqrt(2) erfinv(1 - 2^-24) <= ~5.4 (the
+    truncated tail mass is ~6e-8 — immeasurable; hardware-verified max in
+    tests_tpu/test_tpu_hardware.py).
     """
     bits = pltpu.prng_random_bits(shape) & 0xFFFFFF
     x = (bits.astype(jnp.float32) - float(2**23 - 0.5)) * (1.0 / (1 << 23))
@@ -412,6 +526,10 @@ def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
         g_rp, go_rp, _ = _attitude_response_matrices(h, dt, mp.att_kp_rp, mp.att_kd_rp)
         g_y, go_y, _ = _attitude_response_matrices(h, dt, mp.att_kp_yaw, mp.att_kd_yaw)
         mats = [q_arm, lower, fmat, g_rp, go_rp, g_y, go_y]
+    elif mp.control_mode == "wrench":
+        fmat = (_rotor_lag_matrix(h, dt, mp.rotor_lag_tau)
+                if mp.rotor_lag_tau > 0.0 else np.eye(h))
+        mats = [q_arm, lower, fmat]
     else:
         g_xy, go_xy, _ = _attitude_response_matrices(h, dt, mp.pos_kp_xy, mp.pos_kd_xy)
         g_z, go_z, _ = _attitude_response_matrices(h, dt, mp.pos_kp_z, mp.pos_kd_z)
@@ -467,27 +585,34 @@ def make_whole_body_pallas_step(
         raise ValueError(f"whole-body kernel expects {A_TOTAL} actions")
     if k_local % TILE:
         raise ValueError(f"local sample count must be a multiple of {TILE}")
-    if mp.control_mode not in ("attitude", "position"):
-        raise ValueError("fused kernel supports attitude/position modes only")
+    if mp.control_mode not in ("attitude", "position", "wrench"):
+        raise ValueError("unknown control mode for the fused kernel")
     if cp.ori_mode != "log":
         raise ValueError("fused kernel implements the 'log' orientation metric")
     if cfg.zero_mean_noise:
         raise ValueError("zero_mean_noise unsupported in the fused kernel")
     if cfg.adaptive_sigma and cfg.sigma_scale_fn is not None:
         raise ValueError("adaptive_sigma and sigma_scale_fn are exclusive")
-    if mp.control_mode == "attitude" and not mp.time_parallel:
+    if mp.control_mode in ("attitude", "wrench") and not mp.time_parallel:
         raise ValueError("fused kernel is parallel-in-time only")
+    if mp.control_mode == "wrench" and mp.drag_kd:
+        raise ValueError("drag_kd > 0 unsupported in the fused wrench rollout")
     spec, oq, ot = _chain_constants()
     if mp.arm_tip != "link_7":
         raise ValueError("fused kernel bakes the link_7 tip frame")
     n_tiles = k_local // TILE
 
+    inertials = mp.inertials()
     consts = dict(
         h=h,
         dt=dt,
         mode=mp.control_mode,
         mass=mp.vehicle.mass + mp.arm_mass_lump,
         rotor_lag=mp.rotor_lag_tau > 0.0,
+        couple=bool(mp.couple_arm_gravity),
+        inertia=tuple(float(x) for x in mp.vehicle.inertia),
+        link_com=tuple(tuple(float(v) for v in c) for c in inertials.com),
+        link_mass=tuple(float(m) for m in inertials.mass),
         pos_kp_xy=mp.pos_kp_xy, pos_kd_xy=mp.pos_kd_xy,
         pos_kp_z=mp.pos_kp_z, pos_kd_z=mp.pos_kd_z,
         w_base=cp.base_pos_weight, w_att=cp.attitude_weight,
@@ -531,6 +656,9 @@ def make_whole_body_pallas_step(
 
     def _hom_cols(obs):
         """Traced homogeneous-response columns (H, 6)."""
+        if mp.control_mode == "wrench":
+            # Initial state enters through the SMEM scalars instead.
+            return jnp.zeros((h, 6), jnp.float32)
         if mp.control_mode == "attitude":
             _, _, hom_rp = _attitude_response_matrices(h, dt, mp.att_kp_rp, mp.att_kd_rp)
             _, _, hom_y = _attitude_response_matrices(h, dt, mp.att_kp_yaw, mp.att_kd_yaw)
@@ -565,6 +693,14 @@ def make_whole_body_pallas_step(
             # Task-space exploration scheduling (see MPPIConfig) — sigma is
             # already a dynamic kernel input, so the schedule costs nothing.
             sigma_live = sigma_live * cfg.sigma_scale_fn(obs)
+        # Initial attitude quaternion + body rates + base-frame gravity —
+        # consumed by the wrench rollout (packed always; 10 floats).
+        from ...models.whole_body import _quat_from_rpy as _q_rpy
+        from ...utils import rotations as _rot
+
+        bq0 = _q_rpy(obs.state.base.rpy.astype(jnp.float32))
+        r0 = _rot.quat_to_matrix(bq0)
+        g_b = -9.81 * r0[2, :]
         sc = jnp.concatenate([
             obs.state.q.astype(jnp.float32),
             obs.state.qdot.astype(jnp.float32),
@@ -574,6 +710,9 @@ def make_whole_body_pallas_step(
             obs.ee_target.quat.astype(jnp.float32),
             obs.base_target.astype(jnp.float32),
             sigma_live,
+            bq0,
+            obs.state.base.omega.astype(jnp.float32),
+            g_b,
         ])
         cols = jnp.asarray(cols_static).at[:, _COL_HOM:].set(_hom_cols(obs))
         mats = jnp.asarray(mats_np)

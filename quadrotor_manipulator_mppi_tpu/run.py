@@ -223,7 +223,89 @@ def run_hover(args):
     )
 
 
+def run_disturbance(args):
+    """Gusty hover in a spatially-varying wind field: backstepping hover
+    under (a) a static wind-field grid (vertical shear + lateral variation,
+    trilinearly interpolated per gazebo_wind_plugin.h:144-190), (b) a 5 m/s
+    gust at t=2 s, (c) OU turbulence.  Reports the hover gate
+    (hovering_eval.py:26-27 thresholds) and the disturbance-recovery metric
+    (disturbance_eval analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .evaluation import analyze as analyze_mod
+    from .evaluation import metrics as metrics_mod
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc
+    from .sim import wind as wind_mod
+
+    veh = mr.MultirotorParams()
+    target = jnp.asarray([0.0, 0.0, 2.0])
+
+    # Shear field: wind grows with altitude and varies across x (a synthetic
+    # stand-in for the reference's file-generated terrain fields).
+    field = wind_mod.uniform_grid_field(
+        lambda px, py, pz: (
+            0.15 * pz + 0.1 * px, 0.05 * pz, np.zeros_like(px)
+        ),
+        x=(-10.0, 10.0, 9), y=(-10.0, 10.0, 9), z=(0.0, 12.0, 7),
+    )
+    wp = wind_mod.WindParams(
+        gust_velocity=(5.0, 0.0, 0.0), gust_start=2.0,
+        gust_duration=1.0, gust_period=1e9,
+        turbulence_sigma=0.3, turbulence_tau=0.5,
+    )
+    gains = fc.FlightGains()
+    plant0 = mr.init_state(veh, pos=(0.0, 0.0, 2.0))
+    plant0 = plant0._replace(rotor_speed=jnp.full((8,), veh.hover_rotor_speed()))
+    ctrl0 = fc.init_ctrl_state(veh.mass)
+    sp = fc.hover_setpoint(target)
+    wstate0 = wind_mod.init_wind()
+    key0 = jax.random.key(args.seed)
+
+    def tick(carry, i):
+        plant, c, ws = carry
+        wvel, ws = wind_mod.wind_velocity_at(
+            wp, field, ws, i * 0.001, plant.pos, jax.random.fold_in(key0, i), 0.001
+        )
+        u, c = fc.backstepping_step(
+            gains, veh, c, sp, pos=plant.pos, vel_world=plant.vel,
+            rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=0.001,
+        )
+        plant = mr.step(veh, plant, fc.allocate(veh, u), 0.001, wind_world=wvel)
+        return (plant, c, ws), (plant.pos, plant.omega)
+
+    n = args.steps * 10
+    run = jax.jit(
+        lambda c0: jax.lax.scan(tick, c0, jnp.arange(n), length=n)
+    )
+    _, (pos, omega) = run((plant0, ctrl0, wstate0))
+    m = metrics_mod.hover_metrics(
+        jnp.asarray(pos), jnp.asarray(omega), target, dt=0.001
+    )
+    rec = analyze_mod.analyze_disturbance(
+        {"pos": np.asarray(pos)}, np.asarray(target), 0.001, 0.1
+    )
+    _finish(
+        "disturbance",
+        {
+            "pos_rms_m": round(float(m.pos_rms), 4),
+            "ang_rate_rms": round(float(m.ang_rate_rms), 4),
+            "passed": bool(m.passed),
+            **rec,
+        },
+        {"pos": np.asarray(pos), "omega": np.asarray(omega)},
+        args,
+    )
+
+
 def run_mission(args):
+    """Takeoff -> cruise (gear retracts) -> land: touchdown resolves through
+    the penalty ground-contact model at the landing-gear feet
+    (models/multirotor.ground_contact_wrench) — after the motor cut below
+    0.5 m (controller.cpp:271-278) the vehicle falls onto the gear springs
+    and settles upright at gear height, like Gazebo's ODE contacts catch it
+    in the reference."""
     import jax
     import jax.numpy as jnp
 
@@ -233,6 +315,7 @@ def run_mission(args):
     veh = mr.MultirotorParams()
     cfg = scenario.MissionConfig()
     gains = fc.FlightGains()
+    contact = mr.GroundContactParams()
 
     def tick(carry, t):
         plant, ctrl, mission = carry
@@ -246,23 +329,35 @@ def run_mission(args):
             gains, veh, ctrl, sp, pos=plant.pos, vel_world=plant.vel,
             rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=0.001,
         )
-        plant = mr.step(veh, plant, fc.allocate(veh, u) * motors_on, 0.001)
-        return (plant, ctrl, mission), (plant.pos[2], mission.phase)
+        plant = mr.step(
+            veh, plant, fc.allocate(veh, u) * motors_on, 0.001,
+            contact=contact, gear_ext=mission.gear,
+        )
+        tilt = jnp.linalg.norm(cl.rpy_of(plant)[:2])
+        return (plant, ctrl, mission), (plant.pos[2], mission.phase, tilt)
 
-    plant0 = mr.init_state(veh, pos=(0.0, 0.0, 0.1))
+    # Start resting on the extended gear (feet at -gear_height).
+    plant0 = mr.init_state(veh, pos=(0.0, 0.0, contact.gear_height))
     run = jax.jit(lambda c0: jax.lax.scan(tick, c0, jnp.arange(args.steps * 10)))
-    (plant, _, mission), (z, phase) = run(
+    (plant, _, mission), (z, phase, tilt) = run(
         (plant0, fc.init_ctrl_state(veh.mass), scenario.init_mission())
     )
+    z = np.asarray(z)
+    landed_phase = np.asarray(phase) == scenario.LANDED
     _finish(
         "mission",
         {
-            "max_alt_m": round(float(np.asarray(z).max()), 3),
-            "final_alt_m": round(float(np.asarray(z)[-1]), 3),
+            "max_alt_m": round(float(z.max()), 3),
+            "final_alt_m": round(float(z[-1]), 3),
             "final_phase": int(mission.phase),
             "landed": int(mission.phase) == scenario.LANDED,
+            # Contact quality: settled on the gear, upright, at rest.
+            "rest_height_m": round(float(z[landed_phase].mean()), 3)
+            if landed_phase.any() else None,
+            "final_tilt_rad": round(float(np.asarray(tilt)[-1]), 4),
+            "final_vspeed_m_s": round(float(np.asarray(plant.vel)[2]), 4),
         },
-        {"z": np.asarray(z), "phase": np.asarray(phase)},
+        {"z": z, "phase": np.asarray(phase), "tilt": np.asarray(tilt)},
         args,
     )
 
@@ -410,7 +505,12 @@ def run_pick_weight(args):
     e1, t1 = log1.ee_err, log1.tilt
     grasp_err = float(np.asarray(e1)[-100:].mean())
 
-    # Gripper closes -> payload attaches (plant-side mass change).
+    # Gripper closes -> the payload attaches rigidly at the EE.  The PLANT
+    # gets the full point-mass transfer (added mass + COM shift on link 7 +
+    # gravity moment on the base, WholeBodyLoopConfig.payload_mass); the
+    # SOLVER is told only what the reference's controller knows — the added
+    # lump mass (controller.cpp:159-161) — so the loop must be robust to
+    # the unmodeled moment.
     cfg_payload = scen.MissionConfig()
     params2 = dataclasses.replace(
         params,
@@ -419,7 +519,14 @@ def run_pick_weight(args):
             arm_mass_lump=params.model.arm_mass_lump + cfg_payload.payload_mass,
         ),
     )
-    run2 = wbl.make_whole_body_episode(params2, n_control_steps=half)
+    run2 = wbl.make_whole_body_episode(
+        params2,
+        cfg=wbl.WholeBodyLoopConfig(
+            payload_mass=cfg_payload.payload_mass,
+            plant_arm_lump=params.model.arm_mass_lump,
+        ),
+        n_control_steps=half,
+    )
     (plant, solver, _, _), log2 = jax.jit(run2)(
         plant, solver, lift_target, obs0.base_target
     )
@@ -441,6 +548,7 @@ def run_pick_weight(args):
 
 
 SCENARIOS = {
+    "disturbance": run_disturbance,
     "drone-waypoint": run_drone_waypoint,
     "pick-weight": run_pick_weight,
     "arm-reach": run_arm_reach,

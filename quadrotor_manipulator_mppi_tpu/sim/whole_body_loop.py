@@ -23,7 +23,7 @@ robustness test that matters.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,22 @@ class WholeBodyLoopConfig:
     tube_mu: float = 3e-4       # DLS damping
     tube_clip: float = 0.05     # per-joint correction clamp [rad]
     tube_ori_weight: float = 0.3  # rad -> m exchange rate in the residual
+    # Grasped payload (pick_weight task): a point mass rigidly attached at
+    # the end effector.  Plant-side it transfers the full rigid-body
+    # effects — added mass, gravity moment about the base at the live EE
+    # position, parallel-axis inertia increment, and the load on the arm's
+    # last link (the reference models payloads as added mass only,
+    # controller.cpp:159-161; the solver's internal model keeps that lump
+    # view, so closing the loop across the richer plant is the robustness
+    # test).
+    payload_mass: float = 0.0
+    # Plant-side arm lump override.  By default the plant carries the same
+    # arm_mass_lump as the solver's model; set this when the solver's lump
+    # deliberately differs (e.g. pick-weight tells the solver about the
+    # grasped mass as a lump, reference-style, while the plant carries the
+    # physical payload via payload_mass — without the override the mass
+    # would be double-counted).
+    plant_arm_lump: Optional[float] = None
 
 
 class WholeBodyPlant(NamedTuple):
@@ -131,9 +147,28 @@ def make_whole_body_episode(
     """Returns run((plant, solver_state, obs_targets)) -> (final, logs)."""
     params = params or wbs.WholeBodyMPPIParams()
     vehicle = params.model.vehicle
-    extra = params.model.arm_mass_lump
+    plant_lump = (
+        cfg.plant_arm_lump if cfg.plant_arm_lump is not None
+        else params.model.arm_mass_lump
+    )
+    extra = plant_lump + cfg.payload_mass
     spec = params.model.chain()
     inertials = params.model.inertials()
+    if cfg.payload_mass > 0.0:
+        # The grasped mass rides the last arm link (the EE tip frame IS the
+        # link-7 frame, so the payload sits at that frame's origin): the arm
+        # dynamics, the base gravity-moment coupling (tau_g) and the RNEA
+        # tracking feedforward all feel it through link-7's combined
+        # mass/COM.  The point mass at the frame origin adds no inertia
+        # about itself; the COM shift carries the moment transfer.
+        import dataclasses as _dc
+
+        m = inertials.mass.copy()
+        com = inertials.com.copy()
+        m7, mp = m[-1], cfg.payload_mass
+        com[-1] = com[-1] * (m7 / (m7 + mp))
+        m[-1] = m7 + mp
+        inertials = _dc.replace(inertials, mass=m, com=com)
     step, _ = wbs.make_whole_body_solver(params)
 
     mode = params.model.control_mode

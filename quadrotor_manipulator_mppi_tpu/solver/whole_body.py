@@ -122,6 +122,8 @@ def ee_error_sigma_schedule(r0: float = 0.25, floor: float = 0.02):
         d = jnp.linalg.norm(ee_pos - obs.ee_target.position)
         return jnp.clip(d / r0, floor, 1.0)
 
+    # Declarative identity so config.py can JSON-round-trip the schedule.
+    scale.__qmm_schedule__ = {"kind": "ee_error", "r0": r0, "floor": floor}
     return scale
 
 

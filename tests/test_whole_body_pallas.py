@@ -74,6 +74,67 @@ def test_obstacle_cost_matches_xla():
     _run_both(params)
 
 
+def _wrench_params(k=256, h=16, couple=True):
+    import numpy as np
+
+    base = wb.WholeBodyMPPIParams()
+    mppi = dataclasses.replace(
+        base.mppi,
+        n_samples=k, n_horizon=h,
+        sigma=wb.wrench_sigma(),
+        u_min=None, u_max=None,
+        nominal_action=np.concatenate(
+            [[wb.default_nominal_action()[0]], np.zeros(wb.N_ACTIONS - 1)]
+        ),
+        sigma_scale_fn=None,
+    )
+    return dataclasses.replace(
+        base,
+        mppi=mppi,
+        model=dataclasses.replace(
+            base.model, control_mode="wrench", couple_arm_gravity=couple
+        ),
+    )
+
+
+def test_wrench_mode_matches_xla():
+    """The fused wrench rollout — rotor lag on the full wrench, in-kernel
+    arm-gravity-moment coupling, omega cumsum, Hillis-Steele quaternion
+    prefix scan — agrees with the XLA associative_scan path."""
+    st_x, st_f = _run_both(_wrench_params())
+    np.testing.assert_allclose(
+        np.asarray(st_f.u_prev), np.asarray(st_x.u_prev), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_wrench_mode_matches_xla_uncoupled():
+    _run_both(_wrench_params(couple=False))
+
+
+def test_wrench_mode_nonidentity_attitude_matches_xla():
+    """Initial tilt + body rates exercise the SMEM q0/omega0/g_b path."""
+    import jax.numpy as jnp
+
+    params = _wrench_params(h=12)
+    step_xla, init = wb.make_whole_body_solver(params)
+    step_fused = make_whole_body_pallas_step(params, use_prng=False, interpret=True)
+    obs = wb.default_obs()
+    base = obs.state.base._replace(
+        rpy=jnp.asarray([0.08, -0.05, 0.3]),
+        omega=jnp.asarray([0.2, -0.1, 0.05]),
+        vel=jnp.asarray([0.3, 0.0, -0.1]),
+    )
+    obs = obs._replace(state=obs.state._replace(base=base))
+    st_x = init(jax.random.key(11))
+    st_f = init(jax.random.key(11))
+    for _ in range(2):
+        out, st_x = step_xla(st_x, obs)
+        u_f, st_f = step_fused(st_f, obs)
+        np.testing.assert_allclose(
+            np.asarray(u_f), np.asarray(out.u_seq), rtol=4e-3, atol=4e-3
+        )
+
+
 def test_rejects_unsupported_configs():
     params = wb.WholeBodyMPPIParams()
     bad = dataclasses.replace(
@@ -82,7 +143,7 @@ def test_rejects_unsupported_configs():
     with pytest.raises(ValueError, match="multiple"):
         make_whole_body_pallas_step(bad)
     bad = dataclasses.replace(
-        params, model=dataclasses.replace(params.model, control_mode="wrench")
+        params, model=dataclasses.replace(params.model, control_mode="spline")
     )
-    with pytest.raises(ValueError, match="attitude/position"):
+    with pytest.raises(ValueError, match="unknown control mode"):
         make_whole_body_pallas_step(bad)
