@@ -118,7 +118,10 @@ def secondary(details: dict) -> None:
     """Delegates to benchmarks/run_details.py (shared, incremental)."""
     from benchmarks.run_details import main as details_main
 
-    details_main(["arm", "drone", "pallas", "multi", "big", "wbfused"])
+    details_main(
+        ["arm", "drone", "pallas", "multi", "big", "wbfused", "position",
+         "wrench", "sharded"]
+    )
     if os.path.exists(DETAILS_PATH):
         with open(DETAILS_PATH) as f:
             details.update(json.load(f))

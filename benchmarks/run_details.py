@@ -175,6 +175,60 @@ def main(which):
         )
         log("wbfused done", details["whole_body_obstacles_fused_K16384_H100"])
 
+    if "position" in which:
+        # The stable closed-loop config (position cascade + distance-to-go
+        # schedule) at flagship size — the config you'd actually fly
+        # (BASELINE.md "Control parity"), benched alongside the attitude
+        # headline.
+        pparams = wb.position_mode_params(n_samples=16384, n_horizon=50)
+        pstep, pinit = wb.make_whole_body_solver(pparams, backend="pallas")
+        jpstep = jax.jit(pstep, donate_argnums=0)
+        pstate = pinit(jax.random.key(0))
+        pobs = wb.default_obs()
+        out, pstate = jpstep(pstate, pobs)
+        jax.block_until_ready(out)
+        holder_p = {"state": pstate}
+
+        def one_pos():
+            out, holder_p["state"] = jpstep(holder_p["state"], pobs)
+            return out
+
+        details["whole_body_position_fused_K16384_H50"] = bench_fn(one_pos, iters=40)
+
+        p4 = wb.position_mode_params(n_samples=4096, n_horizon=50)
+        pstep4, pinit4 = wb.make_whole_body_solver(p4, backend="pallas")
+        jp4 = jax.jit(pstep4)
+        st4 = pinit4(jax.random.key(0))
+        details["whole_body_position_fused_K4096_H50"] = bench_fn(
+            lambda: jp4(st4, pobs)[0].u_seq
+        )
+        log("position done", details["whole_body_position_fused_K4096_H50"])
+
+    if "wrench" in which:
+        # The fused direct-wrench mode (in-kernel quaternion prefix scan).
+        import numpy as _np
+
+        wparams = wb.WholeBodyMPPIParams(
+            mppi=MPPIConfig(
+                n_samples=4096, n_horizon=50, n_action=wb.N_ACTIONS,
+                dt=0.01, lam=0.1, sigma=wb.wrench_sigma(), savgol_window=9,
+                nominal_action=_np.concatenate(
+                    [[wb.default_nominal_action()[0]], _np.zeros(wb.N_ACTIONS - 1)]
+                ),
+            ),
+            model=dataclasses.replace(
+                wb.WholeBodyParams(), control_mode="wrench"
+            ),
+        )
+        wstep, winit = wb.make_whole_body_solver(wparams, backend="pallas")
+        jw = jax.jit(wstep)
+        wst = winit(jax.random.key(0))
+        wobs = wb.default_obs()
+        details["whole_body_wrench_fused_K4096_H50"] = bench_fn(
+            lambda: jw(wst, wobs)[0].u_seq
+        )
+        log("wrench done", details["whole_body_wrench_fused_K4096_H50"])
+
     if "sharded" in which:
         # The production (fused Pallas, in-kernel PRNG) step traced under
         # shard_map on a 1-device mesh — the multi-chip code path on the one

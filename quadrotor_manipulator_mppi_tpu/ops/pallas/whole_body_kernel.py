@@ -593,6 +593,8 @@ def make_whole_body_pallas_step(
         raise ValueError("zero_mean_noise unsupported in the fused kernel")
     if cfg.adaptive_sigma and cfg.sigma_scale_fn is not None:
         raise ValueError("adaptive_sigma and sigma_scale_fn are exclusive")
+    if np.ndim(cfg.sigma) == 2:
+        raise ValueError("fused kernel requires scalar or diagonal sigma")
     if mp.control_mode in ("attitude", "wrench") and not mp.time_parallel:
         raise ValueError("fused kernel is parallel-in-time only")
     if mp.control_mode == "wrench" and mp.drag_kd:

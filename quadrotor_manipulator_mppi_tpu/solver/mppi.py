@@ -96,6 +96,12 @@ class MPPIState(NamedTuple):
 
 
 def _diag_sigma(config: MPPIConfig, dtype) -> Array:
+    """The live sigma stored in MPPIState — EXACTLY what sampling consumes.
+
+    scalar -> (A,) diag; (A,) -> as-is; full (A, A) -> the matrix itself
+    (``ops/sampling.sample_noise`` handles all three).  A full matrix is
+    incompatible with the CVIS diagonal adaptation, which is rejected here
+    rather than silently approximated."""
     s = jnp.asarray(config.sigma, dtype)
     if s.ndim == 0:
         return jnp.full((config.n_action,), s, dtype)
@@ -103,7 +109,7 @@ def _diag_sigma(config: MPPIConfig, dtype) -> Array:
         return s
     if config.adaptive_sigma:
         raise ValueError("adaptive_sigma requires scalar or diagonal sigma")
-    return jnp.sqrt(jnp.sum(s * s, axis=0))  # row norms for reference only
+    return s
 
 
 def init_state(config: MPPIConfig, key: Array, dtype=jnp.float32) -> MPPIState:
@@ -135,9 +141,12 @@ def make_step(
         if axis_name is not None:
             # Decorrelate shards: fold the device index into the key.
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
-        sigma_live = state.sigma if config.adaptive_sigma else config.sigma
+        # state.sigma is the single live representation (init_state stores
+        # exactly the configured scalar-diag/diag/full-matrix object; the
+        # adaptive update keeps it diagonal).
+        sigma_live = state.sigma
         if config.sigma_scale_fn is not None:
-            sigma_live = jnp.asarray(sigma_live) * config.sigma_scale_fn(obs)
+            sigma_live = sigma_live * config.sigma_scale_fn(obs)
         noise = sampling.sample_noise(
             sub, k_local, config.n_horizon, config.n_action,
             sigma_live, state.u_prev.dtype,
