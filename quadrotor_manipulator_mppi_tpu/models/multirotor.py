@@ -62,9 +62,25 @@ class MultirotorParams:
     roll_signs: tuple = (-1, 1, 1, -1, -1, 1, 1, -1)
     pitch_signs: tuple = (-1, -1, 1, 1, -1, -1, 1, 1)
     yaw_signs: tuple = (1, -1, 1, -1, -1, 1, -1, 1)
+    # Alternative rotor geometry (the RotorS stock-vehicle convention,
+    # rotors_gazebo/resource/*.yaml): per-rotor (angle, arm_length,
+    # force_constant, moment_constant, direction).  When set, the
+    # allocation matrix follows rotors_control/common.h:79-97 instead of
+    # the Harrier sign rows, and n_rotors/sign rows are ignored.
+    rotor_config: tuple = ()
 
     def allocation_matrix(self) -> np.ndarray:
-        """(4, 8) mapping rotor speed^2 -> [tau_roll, tau_pitch, tau_yaw, T]."""
+        """(4, R) mapping rotor speed^2 -> [tau_roll, tau_pitch, tau_yaw, T]."""
+        if self.rotor_config:
+            cols = []
+            for angle, arm, kf, km, direction in self.rotor_config:
+                cols.append([
+                    np.sin(angle) * arm * kf,     # common.h:86
+                    -np.cos(angle) * arm * kf,    # common.h:89
+                    -direction * kf * km,         # common.h:92
+                    kf,                           # common.h:95
+                ])
+            return np.asarray(cols, np.float64).T
         f, m = self.motor_constant, self.moment_constant
         rows = [
             np.asarray(self.roll_signs, np.float64) * self.ylen * f,
@@ -75,13 +91,18 @@ class MultirotorParams:
         return np.stack(rows)
 
     def allocation_pinv(self) -> np.ndarray:
-        """(8, 4) right pseudo-inverse A^T (A A^T)^-1 — controller.cpp:655."""
+        """(R, 4) right pseudo-inverse A^T (A A^T)^-1 — controller.cpp:655."""
         a = self.allocation_matrix()
         return a.T @ np.linalg.inv(a @ a.T)
 
     def hover_rotor_speed(self, extra_mass: float = 0.0) -> float:
         thrust = (self.mass + extra_mass) * GRAVITY
-        return float(np.sqrt(thrust / (self.n_rotors * self.motor_constant)))
+        kf_total = (
+            sum(r[2] for r in self.rotor_config)
+            if self.rotor_config
+            else self.n_rotors * self.motor_constant
+        )
+        return float(np.sqrt(thrust / kf_total))
 
 
 @dataclass(frozen=True)

@@ -168,17 +168,19 @@ def run_hover(args):
     import jax.numpy as jnp
 
     from .evaluation import metrics as metrics_mod
-    from .models import multirotor as mr
+    from .models import multirotor as mr, vehicles
     from .sim import closed_loop as cl, flight_control as fc
     from .sim import lee_controller as lee
 
-    veh = mr.MultirotorParams()
+    veh = vehicles.get(args.vehicle)
     target = jnp.asarray([0.0, 0.0, 2.0])
     plant0 = mr.init_state(veh, pos=(0.2, -0.2, 1.8))
-    plant0 = plant0._replace(rotor_speed=jnp.full((8,), veh.hover_rotor_speed()))
+    plant0 = plant0._replace(
+        rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
+    )
 
     if args.controller == "lee":
-        gains = lee.LeeGains()
+        gains = vehicles.lee_gains(args.vehicle)
         sp = lee.LeeSetpoint(target)
 
         def tick(plant, _):
@@ -212,6 +214,7 @@ def run_hover(args):
     _finish(
         "hover",
         {
+            "vehicle": args.vehicle,
             "controller": args.controller,
             "pos_rms_m": round(float(m.pos_rms), 4),
             "ang_rate_rms": round(float(m.ang_rate_rms), 4),
@@ -687,6 +690,8 @@ def main(argv=None):
                    choices=["position", "attitude"],
                    help="whole-body-full action mode")
     p.add_argument("--save-log", default=None)
+    p.add_argument("--vehicle", default="harrier",
+                   help="hover: stock vehicle preset (models/vehicles.py)")
     # bench-scaling options.
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="bench-scaling: force the virtual CPU mesh")
