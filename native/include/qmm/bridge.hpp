@@ -38,6 +38,9 @@ enum class MsgType : uint32_t {
   kActionResult = 11,   // [goal_id, status, error]
   kActionCancel = 12,   // [goal_id]
   kRpyt = 13,           // 4 floats: roll, pitch, yaw_rate, thrust (joystick)
+  kMonitor = 14,        // 0 floats: dashboard poll
+  kTelemetry = 15,      // 35 floats: robot_states(27) + drone_target(3) +
+                        //            ee_target(3) + [land, gripper_cmd]
 };
 
 struct Frame {

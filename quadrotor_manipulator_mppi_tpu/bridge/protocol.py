@@ -39,6 +39,12 @@ class MsgType(IntEnum):
     # Joystick flight command (rotors_joy_interface's RollPitchYawrateThrust
     # contract, joy.cpp): [roll, pitch, yaw_rate, thrust].
     RPYT = 13
+    # Dashboard observability (the rqt_rotors GUI analog): MONITOR polls,
+    # TELEMETRY replies with the shared session's live view (35 floats:
+    # latest 27-float robot_states + drone_target(3) + ee_target pos(3) +
+    # [land flag, gripper_cmd]).
+    MONITOR = 14
+    TELEMETRY = 15
 
 
 @dataclass

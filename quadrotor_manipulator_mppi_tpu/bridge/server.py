@@ -67,8 +67,20 @@ class SolverSession:
         # attitude mode; None until a RPYT frame arrives.
         self.rpyt = None
 
+    def telemetry(self) -> proto.Frame:
+        """Live session view for dashboards (MsgType.TELEMETRY layout)."""
+        states = getattr(self, "latest_states", [0.0] * 27)
+        payload = (
+            list(states)
+            + [float(x) for x in self.drone_target]
+            + [float(x) for x in np.asarray(self.ee_target.position)]
+            + [1.0 if self.land else 0.0, float(self.gripper_cmd)]
+        )
+        return proto.Frame(proto.MsgType.TELEMETRY, payload)
+
     def handle_states(self, payload) -> list:
         """ROBOT_STATES -> [ROBOT_CMD frame, DRONE_POSE frame]."""
+        self.latest_states = list(payload)
         base_pos, base_quat_xyzw, q, base_v, qd = proto.split_robot_states(payload)
         if self.land:
             # Land command (teleop code 9): descend toward the current xy at
@@ -154,7 +166,15 @@ class SolverSession:
 
 
 class BridgeServer:
-    """Threaded TCP server; one SolverSession per connection."""
+    """Threaded TCP server around ONE shared SolverSession.
+
+    The session is shared across connections (created lazily on first use,
+    all handler calls serialized by a lock): the plant streams states on one
+    connection while teleop tools and dashboards steer/observe the SAME
+    controller state from theirs — the reference's one-controller /
+    many-UI-nodes topic topology (``controller.cpp:165-180``).  One plant
+    per server; run several servers for several plants.
+    """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  session_factory: Optional[Callable[[], SolverSession]] = None):
@@ -163,6 +183,14 @@ class BridgeServer:
         self._factory = session_factory or SolverSession
         self._threads = []
         self._stop = threading.Event()
+        self._session: Optional[SolverSession] = None
+        self._session_lock = threading.Lock()
+
+    def session(self) -> SolverSession:
+        with self._session_lock:
+            if self._session is None:
+                self._session = self._factory()
+            return self._session
 
     def serve_forever(self) -> None:
         while not self._stop.is_set():
@@ -187,7 +215,7 @@ class BridgeServer:
             pass
 
     def _handle(self, conn: socket.socket) -> None:
-        session = self._factory()
+        session = self.session()
         decoder = proto.Decoder()
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         with conn:
@@ -200,19 +228,35 @@ class BridgeServer:
                     if frame.type == proto.MsgType.SHUTDOWN:
                         return
                     elif frame.type == proto.MsgType.ROBOT_STATES:
-                        for reply in session.handle_states(frame.payload):
+                        with self._session_lock:
+                            replies = session.handle_states(frame.payload)
+                        for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.TELEOP_UAV:
-                        session.handle_teleop_uav(int(frame.payload[0]))
+                        with self._session_lock:
+                            session.handle_teleop_uav(int(frame.payload[0]))
                     elif frame.type == proto.MsgType.TELEOP_ARM:
-                        session.handle_teleop_arm(int(frame.payload[0]))
+                        with self._session_lock:
+                            session.handle_teleop_arm(int(frame.payload[0]))
                     elif frame.type == proto.MsgType.ACTION_GOAL:
-                        for reply in session.actions.handle_goal(frame.payload, session):
+                        with self._session_lock:
+                            replies = session.actions.handle_goal(
+                                frame.payload, session
+                            )
+                        for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.ACTION_CANCEL:
-                        for reply in session.actions.handle_cancel(frame.payload, session):
+                        with self._session_lock:
+                            replies = session.actions.handle_cancel(
+                                frame.payload, session
+                            )
+                        for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.RPYT:
                         session.rpyt = np.asarray(frame.payload[:4], np.float32)
+                    elif frame.type == proto.MsgType.MONITOR:
+                        with self._session_lock:
+                            tele = session.telemetry()
+                        conn.sendall(proto.encode(tele))
                     elif frame.type == proto.MsgType.PING:
                         conn.sendall(proto.encode(proto.Frame(proto.MsgType.PING, [])))

@@ -222,3 +222,98 @@ def test_joystick_interface(native_build, tmp_path):
     # After event 3: yaw rate = +45 deg/s while held.
     assert frames[2].payload[2] == pytest.approx(math.radians(45.0), rel=1e-4)
     srv.close()
+
+
+def _send_and_drain(sock, frame, want_types, timeout=60.0):
+    import time as _time
+
+    sock.sendall(proto.encode(frame))
+    dec = proto.Decoder()
+    got = []
+    sock.settimeout(timeout)
+    deadline = _time.time() + timeout
+    while len(got) < len(want_types) and _time.time() < deadline:
+        dec.feed(sock.recv(65536))
+        for f in dec.frames():
+            got.append(f)
+    return got
+
+
+def test_monitor_telemetry_and_shared_session():
+    """Dashboard path (rqt analog): a second connection observes and steers
+    the SAME session the plant connection drives."""
+    import socket as socket_mod
+
+    server = BridgeServer(session_factory=small_session)
+    server.start()
+    try:
+        plant = socket_mod.create_connection((server.host, server.port))
+        ui = socket_mod.create_connection((server.host, server.port))
+
+        state = [0.0] * 27
+        state[2] = 2.1
+        state[6] = 1.0
+        got = _send_and_drain(
+            plant, proto.Frame(proto.MsgType.ROBOT_STATES, state),
+            [proto.MsgType.ROBOT_CMD, proto.MsgType.DRONE_POSE],
+        )
+        assert [f.type for f in got[:2]] == [
+            proto.MsgType.ROBOT_CMD, proto.MsgType.DRONE_POSE,
+        ]
+
+        # Telemetry from the UI connection reflects the plant's states.
+        tele = _send_and_drain(
+            ui, proto.Frame(proto.MsgType.MONITOR, []),
+            [proto.MsgType.TELEMETRY],
+        )[0]
+        assert tele.type == proto.MsgType.TELEMETRY
+        assert len(tele.payload) == 35
+        assert tele.payload[2] == pytest.approx(2.1)
+        t0 = tele.payload[27:30]
+
+        # Teleop from the UI connection moves the SHARED drone target.
+        ui.sendall(proto.encode(proto.Frame(proto.MsgType.TELEOP_UAV, [1.0])))
+        import time as _time
+
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            tele2 = _send_and_drain(
+                ui, proto.Frame(proto.MsgType.MONITOR, []),
+                [proto.MsgType.TELEMETRY],
+            )[0]
+            if abs(tele2.payload[27] - (t0[0] + 0.3)) < 1e-5:
+                break
+        assert tele2.payload[27] == pytest.approx(t0[0] + 0.3)
+        plant.close()
+        ui.close()
+    finally:
+        server.stop()
+
+
+def test_native_dashboard_once(native_build):
+    """qmm_dashboard --once polls a live server and renders telemetry."""
+    import socket as socket_mod
+
+    server = BridgeServer(session_factory=small_session)
+    server.start()
+    try:
+        plant = socket_mod.create_connection((server.host, server.port))
+        state = [0.0] * 27
+        state[2] = 2.1
+        state[6] = 1.0
+        _send_and_drain(
+            plant, proto.Frame(proto.MsgType.ROBOT_STATES, state),
+            [proto.MsgType.ROBOT_CMD, proto.MsgType.DRONE_POSE],
+        )
+        out = subprocess.run(
+            [os.path.join(native_build, "qmm_dashboard"),
+             server.host, str(server.port), "--once"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "base pos" in out.stdout
+        assert "2.100" in out.stdout
+        assert "drone tgt" in out.stdout
+        plant.close()
+    finally:
+        server.stop()
