@@ -132,7 +132,11 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
-    details = {"device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}
+    details = {}
+    if os.path.exists(DETAILS_PATH):  # merge, don't clobber secondary entries
+        with open(DETAILS_PATH) as f:
+            details = json.load(f)
+    details["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
 
     stats = headline(details)
     log(f"tpu whole-body: {stats['solves_per_s']} solve/s "

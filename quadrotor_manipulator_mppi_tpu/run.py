@@ -475,9 +475,15 @@ def run_multirotor_waypoint(args):
 
 def run_pick_weight(args):
     """pick_weight task (reference worlds/pick_weight.world analog): fly the
-    whole-body system to a grasp pose, close the gripper (a 0.5 kg payload
-    attaches rigidly, mirroring the reference's added-mass modeling), then
-    lift the payload 0.4 m — all on the full plant."""
+    whole-body system to the graspable weight RESTING ON ITS SUPPORT STAND,
+    close the gripper (grasp succeeds only if the measured EE actually
+    reaches the payload), then lift it 0.4 m — all on the full plant.
+
+    The stand is both scene geometry (a sphere-approximated obstacle in the
+    solver's cost, so sampled approaches avoid clipping it — the in-cost
+    analog of Gazebo's collision geometry) and the payload's pre-grasp
+    rest: the weight sits static at the grasp point until the gripper
+    closes on it, exactly like the reference world's resting weight."""
     import dataclasses
 
     import jax
@@ -489,24 +495,54 @@ def run_pick_weight(args):
     from .utils.pose import Pose
 
     params = wbs.position_mode_params(n_samples=256, n_horizon=50)
+    obs0 = wbs.default_obs()
+    grasp_target = obs0.ee_target
+    payload_pos = np.asarray(grasp_target.position)
+    # Support stand: a column under the payload (top just below the grasp
+    # point), entered into the solver cost as a sphere obstacle.
+    stand_center = tuple(payload_pos + np.asarray([0.0, 0.0, -0.35]))
+    params = dataclasses.replace(
+        params,
+        cost=dataclasses.replace(
+            params.cost,
+            obstacle_weight=100.0,
+            obstacle_centers=(stand_center,),
+            obstacle_radii=(0.25,),
+        ),
+    )
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     solver = init(jax.random.key(args.seed))
-    obs0 = wbs.default_obs()
-    grasp_target = obs0.ee_target
     lift_target = Pose(
         position=grasp_target.position + jnp.asarray([0.0, 0.0, 0.4]),
         quat=grasp_target.quat,
     )
-    half = max(args.steps // 2, 100)
+    phase1 = max(args.steps * 2 // 3, 100)
+    half = max(args.steps - phase1, 100)
 
-    # Phase 1: reach the grasp pose.
-    run1 = wbl.make_whole_body_episode(params, n_control_steps=half)
+    # Phase 1: reach the grasp pose above the stand.
+    run1 = wbl.make_whole_body_episode(params, n_control_steps=phase1)
     (plant, solver, _, _), log1 = jax.jit(run1)(
         plant, solver, grasp_target, obs0.base_target
     )
     e1, t1 = log1.ee_err, log1.tilt
-    grasp_err = float(np.asarray(e1)[-100:].mean())
+    grasp_err = float(np.asarray(e1)[-50:].mean())
+
+    # Grasp check: the gripper closes on the RESTING payload only if the
+    # measured EE is actually there (5 cm aperture reach).
+    grasped = grasp_err < 0.05
+    if not grasped:
+        _finish(
+            "pick-weight",
+            {
+                "grasped": False,
+                "grasp_hold_err_m": round(grasp_err, 4),
+                "payload_kg": scen.MissionConfig().payload_mass,
+            },
+            {"reach_err": np.asarray(e1)},
+            args,
+        )
+        return
 
     # Gripper closes -> the payload attaches rigidly at the EE.  The PLANT
     # gets the full point-mass transfer (added mass + COM shift on link 7 +
@@ -537,6 +573,7 @@ def run_pick_weight(args):
     _finish(
         "pick-weight",
         {
+            "grasped": True,
             "grasp_hold_err_m": round(grasp_err, 4),
             "lift_min_err_m": round(float(e2.min()), 4),
             "lift_final_err_m": round(float(e2[-1]), 4),
@@ -544,6 +581,7 @@ def run_pick_weight(args):
                 float(max(np.asarray(t1).max(), np.asarray(t2).max())), 3
             ),
             "payload_kg": cfg_payload.payload_mass,
+            "stand_obstacle": list(np.round(stand_center, 3)),
         },
         {"reach_err": np.asarray(e1), "lift_err": e2},
         args,

@@ -53,11 +53,14 @@ def test_whole_body_mode_correct_plant(capsys):
 
 
 def test_pick_weight_task(capsys):
-    """pick_weight acceptance: grasp-pose hold, payload attach (+0.5 kg),
-    lift — the reference's task world, on the full plant."""
+    """pick_weight acceptance: reach the weight on its stand (the stand is
+    a solver obstacle), grasp gated on measured EE proximity, payload
+    attach (+0.5 kg with moment/inertia transfer), lift — the reference's
+    task world on the full plant."""
     r = run_cli(capsys, ["pick-weight", "--steps", "700"])
     assert r["payload_kg"] == 0.5
-    assert r["grasp_hold_err_m"] < 0.25
+    assert r["grasped"] is True
+    assert r["grasp_hold_err_m"] < 0.05
     assert r["lift_min_err_m"] < 0.15
     assert r["max_tilt_rad"] < 0.1
 
