@@ -165,6 +165,108 @@ class SolverSession:
             self.gripper_cmd = 0.0
 
 
+@dataclass
+class WholeBodySession:
+    """Whole-body MPPI behind the same wire contract as SolverSession.
+
+    One coupled solver replaces the reference's two independent nodes: the
+    arm efforts go out as ROBOT_CMD (the ``kinova.py:184`` tracking law
+    around the solver's qdes + the tube-feedback servo correction) and the
+    base position carrot as DRONE_POSE — so any plant adapter that speaks
+    the reference topics (the in-framework sim, the Gazebo-side
+    ``ros_adapter``) gets whole-body control with zero changes on its side.
+    Position-cascade mode only (its base command IS a position setpoint,
+    which is exactly the DRONE_POSE contract).
+    """
+
+    params: "object" = None
+    seed: int = 0
+    setpoint_lookahead: int = 10
+
+    def __post_init__(self):
+        from ..models.whole_body import WholeBodyState, _base_rollout_position
+        from ..solver import whole_body as wbs
+
+        self._wbs = wbs
+        self._rollout_position = _base_rollout_position
+        self._WholeBodyState = WholeBodyState
+        if self.params is None:
+            self.params = wbs.position_mode_params(n_samples=512, n_horizon=50)
+        if self.params.model.control_mode != "position":
+            raise ValueError("WholeBodySession requires the position mode")
+        step, init = wbs.make_whole_body_solver(self.params)
+        self._step = jax.jit(step)
+        self._state = init(jax.random.key(self.seed))
+        self._spec = self.params.model.chain()
+        self._inertials = self.params.model.inertials()
+        self.ee_target = arm_solver.default_target()
+        self.drone_target = np.asarray([0.0, 0.0, 2.1], np.float32)
+        self.arm_nudge = np.zeros(7, np.float32)
+        self.land = False
+        self.gripper_cmd = 0.0
+        self.actions = ActionManager()
+        self.rpyt = None
+
+    telemetry = SolverSession.telemetry
+    handle_teleop_uav = SolverSession.handle_teleop_uav
+    handle_teleop_arm = SolverSession.handle_teleop_arm
+
+    def handle_states(self, payload) -> list:
+        from ..models.multirotor import Multirotor12State
+        from ..utils import rotations as rot
+
+        self.latest_states = list(payload)
+        base_pos, base_quat_xyzw, q, base_v, qd = proto.split_robot_states(payload)
+        if self.land:
+            self.drone_target[0:2] = np.asarray(base_pos[:2], np.float32)
+            self.drone_target[2] = max(0.0, float(base_pos[2]) - 0.4)
+
+        q = jnp.asarray(q, jnp.float32)
+        qd_j = jnp.asarray(qd, jnp.float32)
+        base_pose = Pose.from_xyzw(
+            jnp.asarray(base_pos, jnp.float32),
+            jnp.asarray(base_quat_xyzw, jnp.float32),
+        )
+        ang = rot.matrix_to_euler(base_pose.rotation_matrix, "ZYX")
+        base12 = Multirotor12State(
+            pos=base_pose.position,
+            rpy=jnp.stack([ang[2], ang[1], ang[0]]),
+            vel=jnp.asarray(base_v[:3], jnp.float32),     # world (adapter contract)
+            omega=jnp.asarray(base_v[3:6], jnp.float32),  # body rates
+        )
+        state = self._WholeBodyState(base=base12, q=q, qdot=qd_j)
+        obs = self._wbs.WholeBodyObs(
+            state=state,
+            ee_target=self.ee_target,
+            base_target=jnp.asarray(self.drone_target),
+        )
+        out, self._state = self._step(self._state, obs)
+
+        # Arm efforts: the reference tracking law around the solver's qdes.
+        m = rb.mass_matrix(self._spec, self._inertials, q)
+        nle = rb.nonlinear_effects(
+            self._spec, self._inertials, q, qd_j,
+            base_rot=base_pose.rotation_matrix,
+        )
+        tau = m @ (400.0 * (out.qdes - q) - 40.0 * qd_j) + nle
+        tau_np = np.asarray(tau, np.float32)
+
+        # Base carrot: the plan's own predicted position a short lookahead
+        # along the updated setpoint-offset sequence (whole_body_loop's
+        # smooth-carrot semantics).
+        pred = self._rollout_position(
+            self.params.model, state, out.u_seq[None, :, :4],
+            self.params.mppi.dt, 1,
+        )
+        la = min(self.setpoint_lookahead, pred.pos.shape[1] - 1)
+        xdes = np.asarray(pred.pos[0, la], np.float32)
+
+        return [
+            proto.Frame(proto.MsgType.ROBOT_CMD, [float(t) for t in tau_np]),
+            proto.Frame(proto.MsgType.DRONE_POSE, [float(x) for x in xdes]),
+        ]
+
+
 class BridgeServer:
     """Threaded TCP server around ONE shared SolverSession.
 

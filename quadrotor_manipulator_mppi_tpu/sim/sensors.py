@@ -20,7 +20,7 @@ they collapse to the reference's ground-truth fixtures
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -219,3 +219,98 @@ def odometry_measure(
         noisy(new_bufs[3][tail], params.rate_noise, k4),
     )
     return meas, OdometryState(buffer=new_bufs, head=tail)
+
+
+# ---------------------------------------------------------------------------
+# Lidar (planar range scanner) — gazebo_lidar_plugin-class sensor.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LidarParams:
+    """Planar multi-beam range scanner against the analytic scene (ground
+    plane + sphere obstacles), the in-framework equivalent of the vendored
+    RotorS lidar plugin (``rotors_gazebo_plugins/src/external`` — a Gazebo
+    ray sensor wrapper; here rays intersect the same primitives the solver's
+    obstacle costs use)."""
+
+    n_beams: int = 16
+    fov: float = 2.0 * np.pi      # full scan [rad]
+    max_range: float = 30.0
+    noise: float = 0.01           # [m]
+    pitch: float = 0.0            # beam elevation from body xy-plane [rad]
+
+
+def lidar_measure(
+    params: LidarParams,
+    key: Array,
+    pos: Array,
+    rot: Array,                   # (3, 3) body -> world
+    ground_z: float = 0.0,
+    sphere_centers: Optional[Array] = None,   # (N, 3)
+    sphere_radii: Optional[Array] = None,     # (N,)
+) -> Array:
+    """(n_beams,) ranges — min over scene primitives, noisy, clamped."""
+    dtype = pos.dtype
+    az = jnp.linspace(0.0, params.fov, params.n_beams, endpoint=False).astype(dtype)
+    cp, sp = np.cos(params.pitch), np.sin(params.pitch)
+    dirs_b = jnp.stack(
+        [cp * jnp.cos(az), cp * jnp.sin(az), jnp.full_like(az, sp)], axis=-1
+    )
+    dirs_w = jnp.einsum("ij,bj->bi", rot, dirs_b)               # (B, 3)
+
+    rng = jnp.full((params.n_beams,), params.max_range, dtype)
+
+    # Ground plane z = ground_z: t = (ground_z - z0) / dz for dz < 0.
+    dz = dirs_w[:, 2]
+    t_ground = (ground_z - pos[2]) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+    rng = jnp.minimum(rng, jnp.where(t_ground > 0.0, t_ground, params.max_range))
+
+    if sphere_centers is not None and sphere_radii is not None:
+        oc = pos[None, None, :] - sphere_centers[None, :, :]    # (1, N, 3)
+        d = dirs_w[:, None, :]                                  # (B, 1, 3)
+        b = jnp.sum(d * oc, axis=-1)                            # (B, N)
+        c = jnp.sum(oc * oc, axis=-1) - sphere_radii[None, :] ** 2
+        disc = b * b - c
+        t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        valid = (disc > 0.0) & (t_hit > 0.0)
+        t_sph = jnp.where(valid, t_hit, params.max_range)
+        rng = jnp.minimum(rng, jnp.min(t_sph, axis=-1))
+
+    if params.noise > 0.0:
+        rng = rng + params.noise * jax.random.normal(key, rng.shape, dtype)
+    return jnp.clip(rng, 0.0, params.max_range)
+
+
+# ---------------------------------------------------------------------------
+# Optical flow (PX4Flow-class) — downward camera flow rates.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OpticalFlowParams:
+    """Downward-looking flow sensor: angular flow rates from translational
+    velocity over ground height plus rotational self-motion — the standard
+    PX4Flow measurement model (the RotorS optical-flow plugin's external
+    OpticalFlow library computes the same quantity from rendered frames)."""
+
+    noise: float = 0.01           # [rad/s]
+    min_height: float = 0.3       # below this the flow saturates/invalid
+    max_flow: float = 4.5         # [rad/s] sensor saturation
+
+
+def optical_flow_measure(
+    params: OpticalFlowParams,
+    key: Array,
+    vel_body: Array,              # (3,) body-frame velocity
+    omega_body: Array,            # (3,) body rates
+    height: Array,                # () height above ground
+) -> Array:
+    """(2,) flow rates about the camera x/y axes [rad/s]."""
+    dtype = vel_body.dtype
+    h = jnp.maximum(height, params.min_height)
+    flow = jnp.stack(
+        [vel_body[0] / h - omega_body[1], vel_body[1] / h + omega_body[0]]
+    ).astype(dtype)
+    flow = flow + params.noise * jax.random.normal(key, (2,), dtype)
+    return jnp.clip(flow, -params.max_flow, params.max_flow)

@@ -317,3 +317,46 @@ def test_native_dashboard_once(native_build):
         plant.close()
     finally:
         server.stop()
+
+
+def test_whole_body_session_contract():
+    """The flagship whole-body solver behind the same wire contract: one
+    coupled solve produces the arm ROBOT_CMD + base DRONE_POSE replies any
+    reference-topic plant adapter consumes unchanged."""
+    import dataclasses
+
+    from quadrotor_manipulator_mppi_tpu.bridge.server import WholeBodySession
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+
+    params = wbs.position_mode_params(n_samples=64, n_horizon=16)
+    s = WholeBodySession(params=params)
+    state = [0.0] * 27
+    state[2] = 2.1   # hovering base
+    state[6] = 1.0   # identity quat (xyzw)
+    replies = s.handle_states(state)
+    assert [f.type for f in replies] == [
+        proto.MsgType.ROBOT_CMD, proto.MsgType.DRONE_POSE,
+    ]
+    tau = np.asarray(replies[0].payload)
+    xdes = np.asarray(replies[1].payload)
+    assert tau.shape == (7,) and np.all(np.isfinite(tau))
+    # (q = 0 is the straight-down pose where arm gravity torques vanish —
+    # near-zero efforts are correct here, unlike the bent home pose.)
+    assert np.all(np.abs(tau) < 50.0)
+    assert xdes.shape == (3,) and np.all(np.isfinite(xdes))
+    assert abs(xdes[2] - 2.1) < 1.0    # carrot near the hover plane
+
+    # Shared teleop semantics.
+    t0 = s.drone_target.copy()
+    s.handle_teleop_uav(1)
+    assert s.drone_target[0] == pytest.approx(t0[0] + 0.3)
+    tele = s.telemetry()
+    assert tele.type == proto.MsgType.TELEMETRY and len(tele.payload) == 35
+
+    # Warm start threads: a second solve from the same state is consistent.
+    replies2 = s.handle_states(state)
+    assert np.all(np.isfinite(np.asarray(replies2[0].payload)))
+
+    # Wrong mode rejected.
+    with pytest.raises(ValueError, match="position mode"):
+        WholeBodySession(params=wbs.WholeBodyMPPIParams())
