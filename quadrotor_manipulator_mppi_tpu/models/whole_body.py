@@ -435,7 +435,16 @@ def rollout(
     arm_u = actions[..., N_BASE_ACTIONS:]          # (K, H, J)
 
     # Arm joints: wide kinematic double integration (reference arm scheme).
+    # The RAW trajectory q goes to the cost stack (the joint-limit terms
+    # need the violation signal); the FK below consumes the limit-CLAMPED
+    # trajectory — real joints stop at their stops, so samples pressing
+    # into a limit produce valid boundary poses instead of fictitious
+    # beyond-limit poses (without this, plans that graze a limit FK to
+    # unreachable space and MPPI stalls pinned against the stop).
     q, qdot = integrators.double_integrate(arm_u, state.q, state.qdot, dt)
+    q_fk = jnp.clip(
+        q, jnp.asarray(spec.lower, q.dtype), jnp.asarray(spec.upper, q.dtype)
+    )
 
     if params.control_mode == "position":
         # Setpoint offsets are not actuator commands — no lag filter; the
@@ -443,7 +452,7 @@ def rollout(
         # lags.  Arm gravity is rejected by the inner loop.
         base_traj = _base_rollout_position(params, state, base_u, dt, k)
         ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
-            spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+            spec, q_fk, base_pos=base_traj.pos, base_quat=base_traj.quat
         )
         return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
 
@@ -462,7 +471,7 @@ def rollout(
             )
         base_traj = _base_rollout_attitude(params, state, base_u, dt, k)
         ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
-            spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+            spec, q_fk, base_pos=base_traj.pos, base_quat=base_traj.quat
         )
         return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
 
@@ -484,7 +493,7 @@ def rollout(
         # initial attitude (refreshing per step would put an RNEA inside the
         # rollout recurrence; the error is second-order in tilt).
         r0 = base_rotation(state.base)
-        tau_b = arm_gravity_torque_fast(spec, inertials, q, r0)
+        tau_b = arm_gravity_torque_fast(spec, inertials, q_fk, r0)
         base_u = jnp.concatenate(
             [base_u[..., 0:1], base_u[..., 1:4] + tau_b], axis=-1
         )
@@ -495,7 +504,7 @@ def rollout(
     # End-effector poses over the whole (K, H) block in one batched,
     # matmul-free quaternion FK pass.
     ee_pos, ee_quat = chain_mod.forward_kinematics_posquat(
-        spec, q, base_pos=base_traj.pos, base_quat=base_traj.quat
+        spec, q_fk, base_pos=base_traj.pos, base_quat=base_traj.quat
     )
     return Pose(position=ee_pos, quat=ee_quat), q, qdot, base_traj
 

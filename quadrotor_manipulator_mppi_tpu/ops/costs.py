@@ -230,6 +230,28 @@ def joint_limit_cost(
     return jnp.sum(out.astype(q.dtype) * penalty * g, axis=-1)
 
 
+def joint_limit_soft_cost(
+    q: Array,
+    lower: Array,
+    upper: Array,
+    gamma: float,
+    weight: float = 1e3,
+) -> Array:
+    """Quadratic boundary-violation cost: weight * sum_t gamma^t sum_j viol^2.
+
+    The smooth companion to :func:`joint_limit_cost` for clamped-at-limit
+    rollouts: the reference's 1e10 cliff makes nearly every sample near a
+    limit catastrophic (any of K*H*J entries crossing kills the whole
+    sample), which freezes MPPI exploration against the limit surface —
+    measured as a whole-arm stall when two joints pin (round 2).  With the
+    rollout kinematics clamped (real joints stop at their stops), this term
+    only needs to supply a gradient pushing plans back inside."""
+    h = q.shape[-2]
+    g = _discount(gamma, h, q.dtype)
+    viol = jnp.maximum(lower - q, 0.0) + jnp.maximum(q - upper, 0.0)
+    return weight * jnp.sum(jnp.sum(viol * viol, axis=-1) * g, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # STORM-style gaussian-projected distance cost (``dist_cost.py``)
 # ---------------------------------------------------------------------------

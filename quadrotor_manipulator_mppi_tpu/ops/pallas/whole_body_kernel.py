@@ -268,10 +268,17 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
     tcol = cols_ref[:, _COL_TCOL:_COL_TCOL + 1]
 
     # ----- arm joints: q = q0 + qd0 * tcol + Q_arm @ qddot ------------------
+    # Raw trajectory for the limit cost; limit-CLAMPED trajectory for FK and
+    # the gravity-moment chain (mirrors models/whole_body.rollout: real
+    # joints stop at their stops).
     q_mat = mats_ref[0]
-    q_joints = [
+    q_raw = [
         sc_ref[_SC_Q0 + j] + sc_ref[_SC_QD0 + j] * tcol
         + _mm(q_mat, v[N_BASE_ACTIONS + j])
+        for j in range(kinova.N_JOINTS)
+    ]
+    q_joints = [
+        jnp.clip(q_raw[j], c["q_lo"][j], c["q_hi"][j])
         for j in range(kinova.N_JOINTS)
     ]
 
@@ -419,12 +426,20 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         for i in range(1, A_TOTAL):
             act_sq += v[i] * v[i]
         step_cost += c["w_action"] * cols_ref[:, _COL_GAMMA:_COL_GAMMA + 1] * act_sq
-    if c["w_jl"]:
-        viol = jnp.maximum(c["q_lo"][0] - q_joints[0], q_joints[0] - c["q_hi"][0])
+    if c["w_jl"] and c["jl_soft"]:
+        vsq = None
+        for j in range(kinova.N_JOINTS):
+            vj = jnp.maximum(c["q_lo"][j] - q_raw[j], 0.0) + jnp.maximum(
+                q_raw[j] - c["q_hi"][j], 0.0
+            )
+            vsq = vj * vj if vsq is None else vsq + vj * vj
+        step_cost += (c["w_jl"] * 1e3) * cols_ref[:, _COL_GAMMA:_COL_GAMMA + 1] * vsq
+    elif c["w_jl"]:
+        viol = jnp.maximum(c["q_lo"][0] - q_raw[0], q_raw[0] - c["q_hi"][0])
         for j in range(1, kinova.N_JOINTS):
             viol = jnp.maximum(
                 viol,
-                jnp.maximum(c["q_lo"][j] - q_joints[j], q_joints[j] - c["q_hi"][j]),
+                jnp.maximum(c["q_lo"][j] - q_raw[j], q_raw[j] - c["q_hi"][j]),
             )
         out = jnp.where(viol > 0.0, 1.0, 0.0)
         step_cost += (c["w_jl"] * 1e10) * cols_ref[:, _COL_GAMMA:_COL_GAMMA + 1] * out
@@ -620,6 +635,7 @@ def make_whole_body_pallas_step(
         w_base=cp.base_pos_weight, w_att=cp.attitude_weight,
         w_omega=cp.omega_weight, w_vel=cp.vel_weight,
         w_action=cp.action_weight, w_jl=cp.joint_limit_weight,
+        jl_soft=bool(getattr(cp, "joint_limit_soft", True)),
         q_lo=[float(x) for x in spec.lower],
         q_hi=[float(x) for x in spec.upper],
         oq=oq, ot=ot,

@@ -588,6 +588,80 @@ def run_pick_weight(args):
     )
 
 
+def run_whole_body_batch(args):
+    """Batched closed-loop evaluation — the production-serving shape: vmap
+    the FULL whole-body episode (solver + plant physics) over many
+    scenarios (randomized initial base positions and EE targets) in one
+    jitted program.  Reports aggregate reach statistics and
+    episode throughput.  Scenario count rides --devices (reused flag) x 8
+    by default; shard over a scenario mesh for multi-chip."""
+    import time as time_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from .sim import whole_body_loop as wbl
+    from .solver import whole_body as wbs
+    from .utils.pose import Pose
+
+    n_scn = args.scenarios
+    params = wbs.position_mode_params(n_samples=args.k_per_device, n_horizon=50)
+    run = wbl.make_whole_body_episode(params, n_control_steps=args.steps)
+    _, init = wbs.make_whole_body_solver(params)
+    obs0 = wbs.default_obs()
+
+    key = jax.random.key(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    base_offsets = jax.random.uniform(k1, (n_scn, 3), minval=-0.3, maxval=0.3)
+    tgt_offsets = jax.random.uniform(k2, (n_scn, 3), minval=-0.15, maxval=0.15)
+
+    def make_scenario(i):
+        plant = wbl.init_plant(
+            params.model.vehicle,
+            pos=tuple(jnp.asarray([0.0, 0.0, 2.1]) + base_offsets[i]),
+        )
+        solver = init(jax.random.fold_in(k3, i))
+        target = Pose(
+            position=obs0.ee_target.position + tgt_offsets[i],
+            quat=obs0.ee_target.quat,
+        )
+        return plant, solver, target
+
+    plants, solvers, targets = jax.vmap(make_scenario)(jnp.arange(n_scn))
+    # Re-station the base over each scenario's EE goal (operator semantics:
+    # moving the task goal moves the hover station with it).
+    base_targets = obs0.base_target + tgt_offsets
+
+    vrun = jax.jit(jax.vmap(run))
+    t0 = time_mod.perf_counter()
+    final, logs = vrun(plants, solvers, targets, base_targets)
+    jax.block_until_ready(logs.ee_err)
+    wall = time_mod.perf_counter() - t0
+
+    l1c = np.asarray(logs.l1_cmd)      # (N, T)
+    tail = l1c[:, -min(100, args.steps // 3):]
+    reached = (l1c < 0.005).any(axis=1)
+    _finish(
+        "whole-body-batch",
+        {
+            "scenarios": n_scn,
+            "k": args.k_per_device,
+            "steps": args.steps,
+            "wall_s": round(wall, 1),
+            "episodes_per_s": round(n_scn / wall, 2),
+            "control_steps_per_s": round(n_scn * args.steps / wall, 1),
+            "reach_gate_fraction": round(float(reached.mean()), 3),
+            "l1_cmd_tail_mean_mm": round(float(tail.mean()) * 1000, 2),
+            "l1_cmd_tail_p95_mm": round(
+                float(np.percentile(tail, 95)) * 1000, 2
+            ),
+            "max_tilt_rad": round(float(np.asarray(logs.tilt).max()), 4),
+        },
+        {"l1_cmd": l1c, "ee_err": np.asarray(logs.ee_err)},
+        args,
+    )
+
+
 def run_bench_scaling(args):
     """Scenario x sample scaling-efficiency measurement (BASELINE.json's
     >= 85% multi-host target): weak scaling of the whole-body solve over the
@@ -705,6 +779,7 @@ def run_bench_scaling(args):
 
 SCENARIOS = {
     "bench-scaling": run_bench_scaling,
+    "whole-body-batch": run_whole_body_batch,
     "disturbance": run_disturbance,
     "drone-waypoint": run_drone_waypoint,
     "pick-weight": run_pick_weight,
@@ -737,6 +812,8 @@ def main(argv=None):
                    help="bench-scaling: mesh size (clamped to available)")
     p.add_argument("--k-per-device", type=int, default=2048, dest="k_per_device")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--scenarios", type=int, default=32,
+                   help="whole-body-batch: batched episode count")
     args = p.parse_args(argv)
     SCENARIOS[args.scenario](args)
 

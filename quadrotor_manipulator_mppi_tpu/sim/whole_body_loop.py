@@ -66,7 +66,16 @@ class WholeBodyLoopConfig:
     # the reference's reach criterion (sum |dp| < 0.005 m, mppi.py:117) on
     # the full plant.
     tube_gain: float = 0.8
-    tube_radius: float = 0.08   # gate distance [m]; 0 disables
+    # Gate distance [m]; 0 disables; None = mode-dependent default.
+    # Position mode uses 0.3 (not just a terminal-hold radius): the DLS
+    # servo follows the full 6-DoF pose-error gradient, which also walks
+    # the arm out of bad kinematic branches that trap MPPI's Gaussian
+    # exploration (measured: a batch scenario stalled at 0.3 m with joint 4
+    # against its stop converges to ~1 cm with the wider gate, and the
+    # nominal case reaches the 5 mm gate ~40% sooner).  Attitude/wrench
+    # modes use 0.08: there MPPI's own arm plan is the fast EE actuator and
+    # a mid-transient servo fights it (measured divergence at 0.3).
+    tube_radius: Optional[float] = None
     tube_mu: float = 3e-4       # DLS damping
     tube_clip: float = 0.05     # per-joint correction clamp [rad]
     tube_ori_weight: float = 0.3  # rad -> m exchange rate in the residual
@@ -184,12 +193,20 @@ def make_whole_body_episode(
         plant, action_cmd, tau_arm_pd = carry
         base_rot = rot.quat_to_matrix(plant.base.quat)
 
-        # Arm dynamics under the tilted-gravity field.
+        # Arm dynamics under the tilted-gravity field, with hard joint
+        # stops: q clamps at the URDF limits and the velocity component
+        # driving into a stop zeroes (inelastic stop — matches how Gazebo's
+        # joint limits catch the reference arm).
         qdd = rb.forward_dynamics(
             spec, inertials, plant.q, plant.qdot, tau_arm_pd, base_rot=base_rot
         )
         qdot = plant.qdot + qdd * cfg.physics_dt
-        q = plant.q + qdot * cfg.physics_dt
+        q_raw = plant.q + qdot * cfg.physics_dt
+        q_lo = jnp.asarray(spec.lower, q_raw.dtype)
+        q_hi = jnp.asarray(spec.upper, q_raw.dtype)
+        q = jnp.clip(q_raw, q_lo, q_hi)
+        at_stop = (q_raw < q_lo) | (q_raw > q_hi)
+        qdot = jnp.where(at_stop, 0.0, qdot)
 
         # Arm gravity moment on the base (quasi-static reaction).
         tau_g = arm_gravity_torque_fast(spec, inertials, plant.q, base_rot)
@@ -236,6 +253,11 @@ def make_whole_body_episode(
         nxt = WholeBodyPlant(base=base, q=q, qdot=qdot, ctrl=ctrl)
         return (nxt, action_cmd, tau_arm_pd), None
 
+    tube_radius = (
+        cfg.tube_radius if cfg.tube_radius is not None
+        else (0.3 if mode == "position" else 0.08)
+    )
+
     def control_step(carry, _):
         plant, solver, ee_target, base_target = carry
         obs = wbs.WholeBodyObs(
@@ -244,7 +266,7 @@ def make_whole_body_episode(
         out, solver = step(solver, obs)
 
         qdes = out.qdes
-        if cfg.tube_radius > 0.0 and cfg.tube_gain > 0.0:
+        if tube_radius > 0.0 and cfg.tube_gain > 0.0:
             from ..models import chain as chain_mod
 
             def pose_err(qq):
@@ -263,13 +285,18 @@ def make_whole_body_episode(
             de_dq = jax.jacfwd(pose_err)(plant.q)                  # (6, 7)
             d = jnp.linalg.norm(err6[:3])
             gate = jax.nn.sigmoid(
-                (cfg.tube_radius - d) / (0.25 * cfg.tube_radius)
+                (tube_radius - d) / (0.25 * tube_radius)
             )
             # Gauss-Newton/DLS step on ||err6||: de_dq dq = -err6.
             a = de_dq @ de_dq.T + cfg.tube_mu * jnp.eye(6, dtype=err6.dtype)
             dq = -de_dq.T @ jnp.linalg.solve(a, err6)
             dq = jnp.clip(dq, -cfg.tube_clip, cfg.tube_clip)
             qdes = qdes + cfg.tube_gain * gate * dq
+        # Never command beyond the joint stops.
+        qdes = jnp.clip(
+            qdes, jnp.asarray(spec.lower, qdes.dtype),
+            jnp.asarray(spec.upper, qdes.dtype),
+        )
 
         # Arm torque: track the MPPI setpoint (reference phase-2 law).
         m = rb.mass_matrix(spec, inertials, plant.q)

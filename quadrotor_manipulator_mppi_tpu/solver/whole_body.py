@@ -73,6 +73,12 @@ class WholeBodyCostParams:
     vel_weight: float = 40.0
     action_weight: float = 0.0
     joint_limit_weight: float = 1.0
+    # Soft (quadratic, x1e3) vs hard (reference 1e10 cliff) joint-limit
+    # penalty.  The rollout clamps joint trajectories at the limits (real
+    # joints stop), so the soft gradient is the default — the hard cliff
+    # freezes exploration when the plan grazes a stop (ops/costs
+    # joint_limit_soft_cost docstring).
+    joint_limit_soft: bool = True
     gamma: float = 0.98
     ori_mode: str = "log"
     obstacle_weight: float = 0.0
@@ -263,9 +269,15 @@ def make_whole_body_solver(
         if cp.action_weight:
             s = s + costs_mod.action_cost(v, cp.action_weight, cp.gamma)
         if cp.joint_limit_weight:
-            s = s + cp.joint_limit_weight * costs_mod.joint_limit_cost(
-                q, q_lower, q_upper, cp.gamma
-            )
+            if cp.joint_limit_soft:
+                s = s + costs_mod.joint_limit_soft_cost(
+                    q, q_lower, q_upper, cp.gamma,
+                    weight=1e3 * cp.joint_limit_weight,
+                )
+            else:
+                s = s + cp.joint_limit_weight * costs_mod.joint_limit_cost(
+                    q, q_lower, q_upper, cp.gamma
+                )
         if has_obstacles:
             s = s + costs_mod.sphere_obstacle_cost(
                 ee.position,

@@ -177,3 +177,25 @@ def test_sharded_fused_pallas_matches_sharded_xla():
     np.testing.assert_allclose(
         np.asarray(out_f2.u_seq), np.asarray(out_x2.u_seq), rtol=4e-3, atol=4e-3
     )
+
+
+@requires_8
+def test_multihost_helpers_single_process():
+    """multihost.initialize is a safe no-op single-process, and
+    host_local_scenarios places scenario arrays with the scenario sharding
+    (single-process == device_put equivalence)."""
+    from quadrotor_manipulator_mppi_tpu.parallel import multihost
+
+    topo = multihost.initialize()
+    assert topo["process_count"] == 1
+    assert topo["initialized"] is False
+    assert topo["global_devices"] == jax.device_count()
+
+    mesh = mesh_mod.make_mesh(n_sample_shards=2, n_scenario_shards=4)
+    data = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    placed = multihost.host_local_scenarios(mesh, data)
+    assert placed["x"].shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(placed["x"]), data["x"])
+    # Leading axis is sharded over the scenario mesh axis.
+    spec = placed["x"].sharding.spec
+    assert spec[0] == mesh_mod.SCENARIO_AXIS
