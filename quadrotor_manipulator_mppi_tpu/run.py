@@ -520,29 +520,61 @@ def run_pick_weight(args):
     phase1 = max(args.steps * 2 // 3, 100)
     half = max(args.steps - phase1, 100)
 
-    # Phase 1: reach the grasp pose above the stand.
-    run1 = wbl.make_whole_body_episode(params, n_control_steps=phase1)
-    (plant, solver, _, _), log1 = jax.jit(run1)(
-        plant, solver, grasp_target, obs0.base_target
+    # The weight is a FREE RIGID BODY resting on the stand top (sim/graspable):
+    # the approach can push it off, and the push reaction loads the vehicle.
+    from .sim import graspable as grb
+
+    gp = grb.GraspableParams(
+        mass=scen.MissionConfig().payload_mass,
+        stand_center_xy=(float(stand_center[0]), float(stand_center[1])),
+        stand_top_z=float(payload_pos[2]) - 0.04,
+        stand_radius=0.25,
+    )
+    obj = grb.init_graspable(gp, pos=tuple(payload_pos))
+
+    # Phase 1: reach the grasp pose above the stand (gripper open).
+    run1 = wbl.make_whole_body_episode(
+        params, n_control_steps=phase1, graspable=gp
+    )
+    (plant, solver, _, _, obj), log1 = jax.jit(run1)(
+        plant, solver, grasp_target, obs0.base_target, obj
     )
     e1, t1 = log1.ee_err, log1.tilt
     grasp_err = float(np.asarray(e1)[-50:].mean())
+    obj_track = np.asarray(log1.obj_pos)
+    obj_max_disp = float(
+        np.linalg.norm(obj_track - np.asarray(payload_pos), axis=-1).max()
+    )
 
-    # Grasp check: the gripper closes on the RESTING payload only if the
-    # measured EE is actually there (5 cm aperture reach).
-    grasped = grasp_err < 0.05
+    # Grasp check: the gripper closes on the object WHERE IT ACTUALLY IS —
+    # if the approach knocked it away, the grasp fails.
+    spec = params.model.chain()
+    from .models import chain as chain_mod
+
+    ee_pos, _ = jax.jit(
+        lambda p: chain_mod.forward_kinematics_posquat(
+            spec, p.q, base_pos=p.base.pos, base_quat=p.base.quat
+        )
+    )(plant)
+    ee_obj_dist = float(np.linalg.norm(np.asarray(ee_pos) - np.asarray(obj.pos)))
+    grasped = ee_obj_dist < gp.grasp_tol
     if not grasped:
         _finish(
             "pick-weight",
             {
                 "grasped": False,
                 "grasp_hold_err_m": round(grasp_err, 4),
+                "ee_to_object_m": round(ee_obj_dist, 4),
+                "object_max_disp_m": round(obj_max_disp, 4),
                 "payload_kg": scen.MissionConfig().payload_mass,
             },
-            {"reach_err": np.asarray(e1)},
+            {"reach_err": np.asarray(e1), "obj_pos": obj_track},
             args,
         )
         return
+    import dataclasses as _dc
+
+    obj = obj._replace(attached=jnp.ones((), jnp.bool_))
 
     # Gripper closes -> the payload attaches rigidly at the EE.  The PLANT
     # gets the full point-mass transfer (added mass + COM shift on link 7 +

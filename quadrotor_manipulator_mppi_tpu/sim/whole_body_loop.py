@@ -37,6 +37,7 @@ from ..utils import rotations as rot
 from ..utils.pose import Pose
 from . import closed_loop as cl
 from . import flight_control as fc
+from . import graspable as gr
 
 Array = jax.Array
 
@@ -119,6 +120,7 @@ class WholeBodyLog(NamedTuple):
     l1_cmd: Array    # reference reach-gate metric [m]
     l1_meas: Array   # L1 measured EE position error [m]
     ori_err: Array   # measured EE geodesic orientation error [rad]
+    obj_pos: Array   # (3,) graspable-object world position (zeros if none)
 
 
 def init_plant(
@@ -152,8 +154,18 @@ def make_whole_body_episode(
     params: wbs.WholeBodyMPPIParams = None,
     cfg: WholeBodyLoopConfig = WholeBodyLoopConfig(),
     n_control_steps: int = 300,
+    graspable: Optional[gr.GraspableParams] = None,
+    gripper_closed: bool = False,
 ):
-    """Returns run((plant, solver_state, obs_targets)) -> (final, logs)."""
+    """Returns run((plant, solver_state, obs_targets)) -> (final, logs).
+
+    With ``graspable`` set, the pick_weight object is simulated as a FREE
+    RIGID BODY (``sim/graspable``): the episode carry gains a
+    ``GraspableState`` (``run(plant, solver, ee_target, base_target, obj)``),
+    the gripper palm can push the object off its stand during the approach,
+    and the push reaction acts back on the vehicle as an external wrench.
+    ``gripper_closed`` is the episode-static gripper command (the phased
+    pick-weight scenario closes it between episodes)."""
     params = params or wbs.WholeBodyMPPIParams()
     vehicle = params.model.vehicle
     plant_lump = (
@@ -190,7 +202,7 @@ def make_whole_body_episode(
     )
 
     def physics_tick(carry, _):
-        plant, action_cmd, tau_arm_pd = carry
+        plant, action_cmd, tau_arm_pd, ext_wrench_b = carry
         base_rot = rot.quat_to_matrix(plant.base.quat)
 
         # Arm dynamics under the tilted-gravity field, with hard joint
@@ -248,10 +260,12 @@ def make_whole_body_episode(
         base = mr.step(
             vehicle, plant.base, rotor_cmd, cfg.physics_dt,
             extra_mass=extra,
-            external_wrench_body=(jnp.zeros(3), tau_g),
+            external_wrench_body=(
+                ext_wrench_b[0], tau_g + ext_wrench_b[1]
+            ),
         )
         nxt = WholeBodyPlant(base=base, q=q, qdot=qdot, ctrl=ctrl)
-        return (nxt, action_cmd, tau_arm_pd), None
+        return (nxt, action_cmd, tau_arm_pd, ext_wrench_b), None
 
     tube_radius = (
         cfg.tube_radius if cfg.tube_radius is not None
@@ -259,7 +273,10 @@ def make_whole_body_episode(
     )
 
     def control_step(carry, _):
-        plant, solver, ee_target, base_target = carry
+        if graspable is not None:
+            plant, solver, ee_target, base_target, obj = carry
+        else:
+            plant, solver, ee_target, base_target = carry
         obs = wbs.WholeBodyObs(
             state=observe(plant), ee_target=ee_target, base_target=base_target
         )
@@ -325,8 +342,44 @@ def make_whole_body_episode(
             )
         else:
             base_cmd = out.action[:4]
-        (plant, _, _), _ = jax.lax.scan(
-            physics_tick, (plant, base_cmd, tau_arm), None, length=cfg.substeps
+
+        # Graspable free body: step it over this control period with the
+        # current palm pose/velocity, and feed the push reaction back onto
+        # the vehicle as a constant body wrench for the period.
+        dtype = plant.base.pos.dtype
+        ext_wrench_b = (jnp.zeros(3, dtype), jnp.zeros(3, dtype))
+        if graspable is not None:
+            from ..models import chain as chain_mod
+
+            def fk_pos(qq, bp, bq):
+                p, _ = chain_mod.forward_kinematics_posquat(
+                    spec, qq, base_pos=bp, base_quat=bq
+                )
+                return p
+
+            quat_dot = 0.5 * rot.quat_multiply(
+                plant.base.quat,
+                jnp.concatenate([jnp.zeros(1, dtype), plant.base.omega]),
+            )
+            ee_pos_now, ee_vel_now = jax.jvp(
+                fk_pos,
+                (plant.q, plant.base.pos, plant.base.quat),
+                (plant.qdot, plant.base.vel, quat_dot),
+            )
+            obj, reaction_w = gr.graspable_step(
+                graspable, obj, ee_pos_now, ee_vel_now,
+                jnp.asarray(gripper_closed), cfg.substeps * cfg.physics_dt,
+            )
+            base_rot_now = rot.quat_to_matrix(plant.base.quat)
+            f_b = base_rot_now.T @ reaction_w
+            tau_b = base_rot_now.T @ jnp.cross(
+                ee_pos_now - plant.base.pos, reaction_w
+            )
+            ext_wrench_b = (f_b, tau_b)
+
+        (plant, _, _, _), _ = jax.lax.scan(
+            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b), None,
+            length=cfg.substeps,
         )
 
         # Logs: EE world position error, base state.
@@ -352,14 +405,20 @@ def make_whole_body_episode(
             l1_cmd=jnp.sum(jnp.abs(cmd_pos - ee_target.position)),
             l1_meas=jnp.sum(jnp.abs(ee_pos - ee_target.position)),
             ori_err=ori_err,
+            obj_pos=(obj.pos if graspable is not None
+                     else jnp.zeros(3, dtype)),
         )
+        if graspable is not None:
+            return (plant, solver, ee_target, base_target, obj), log
         return (plant, solver, ee_target, base_target), log
 
     def run(plant: WholeBodyPlant, solver: MPPIState,
-            ee_target: Pose, base_target: Array):
-        return jax.lax.scan(
-            control_step, (plant, solver, ee_target, base_target),
-            None, length=n_control_steps,
+            ee_target: Pose, base_target: Array,
+            obj: Optional[gr.GraspableState] = None):
+        carry = (
+            (plant, solver, ee_target, base_target) if graspable is None
+            else (plant, solver, ee_target, base_target, obj)
         )
+        return jax.lax.scan(control_step, carry, None, length=n_control_steps)
 
     return run
