@@ -109,8 +109,59 @@ def headline(details: dict) -> dict:
         out, holder["state"] = jstep(holder["state"], obs)
         return out
 
-    stats = bench_fn(one)
+    from benchmarks.flops import annotate
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    stats = annotate(bench_fn(one), K, H, kind, mode=params.model.control_mode)
     details[f"whole_body_K{K}_H{H}"] = stats
+    return stats
+
+
+def episode_amortized(details: dict) -> dict:
+    """Closed-loop episode throughput: the jitted full loop (solver + plant
+    physics, ``sim/whole_body_loop``) amortizes per-call dispatch entirely —
+    this is the serving-shape number, free of the axon-tunnel latency that
+    floors the isolated-step headline (BASELINE.md).  Reported as amortized
+    solves/s (= control steps/s of the 100 Hz loop)."""
+    import jax
+    from benchmarks.flops import annotate
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wb
+
+    n_steps = 200
+    params = wb.position_mode_params(n_samples=K, n_horizon=H)
+    backend = "xla" if os.environ.get("QMM_BENCH_XLA") else "pallas"
+    run = wbl.make_whole_body_episode(
+        params, n_control_steps=n_steps, backend=backend
+    )
+    _, init = wb.make_whole_body_solver(params, backend=backend)
+    plant = wbl.init_plant(params.model.vehicle)
+    solver = init(jax.random.key(0))
+    obs = wb.default_obs()
+    jrun = jax.jit(run)
+
+    t0 = time.perf_counter()
+    _, logs = jrun(plant, solver, obs.ee_target, obs.base_target)
+    jax.block_until_ready(logs.ee_err)
+    log(f"episode compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, logs = jrun(plant, solver, obs.ee_target, obs.base_target)
+    jax.block_until_ready(logs.ee_err)
+    dt_solve = (time.perf_counter() - t0) / iters / n_steps
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    stats = annotate(
+        {
+            "ms_per_solve": round(dt_solve * 1e3, 4),
+            "solves_per_s": round(1.0 / dt_solve, 2),
+            "n_control_steps": n_steps,
+            "note": "jitted closed loop: solver + full plant physics per step",
+        },
+        K, H, kind, mode="position",
+    )
+    details[f"whole_body_episode_K{K}_H{H}"] = stats
     return stats
 
 
@@ -140,7 +191,17 @@ def main():
 
     stats = headline(details)
     log(f"tpu whole-body: {stats['solves_per_s']} solve/s "
-        f"({stats['ms_per_solve']} ms/solve)")
+        f"({stats['ms_per_solve']} ms/solve, "
+        f"MFU {stats['mfu_vs_bf16_peak']})")
+
+    try:
+        ep = episode_amortized(details)
+        log(f"episode-amortized: {ep['solves_per_s']} solve/s "
+            f"({ep['ms_per_solve']} ms/solve, MFU {ep['mfu_vs_bf16_peak']})")
+    except Exception as e:  # must not kill the headline
+        ep = None
+        details["episode_error"] = repr(e)
+        log(f"episode bench failed: {e!r}")
 
     if os.environ.get("QMM_BENCH_FULL"):
         try:
@@ -158,16 +219,19 @@ def main():
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=2)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"whole_body_mppi_solves_per_s_K{K}_H{H}",
-                "value": stats["solves_per_s"],
-                "unit": "solve/s",
-                "vs_baseline": round(stats["solves_per_s"] / base, 2),
-            }
-        )
-    )
+    out = {
+        "metric": f"whole_body_mppi_solves_per_s_K{K}_H{H}",
+        "value": stats["solves_per_s"],
+        "unit": "solve/s",
+        "vs_baseline": round(stats["solves_per_s"] / base, 2),
+        "ms_per_solve": stats["ms_per_solve"],
+        "mfu_vs_bf16_peak": stats["mfu_vs_bf16_peak"],
+        "achieved_tflops": stats["achieved_tflops"],
+    }
+    if ep is not None:
+        out["episode_amortized_solves_per_s"] = ep["solves_per_s"]
+        out["episode_amortized_mfu"] = ep["mfu_vs_bf16_peak"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,153 @@
+"""Analytic FLOP accounting for the whole-body MPPI solve (VERDICT r2 #3).
+
+The fused Pallas kernel's work is statically known, so the count is derived
+from the kernel structure (`ops/pallas/whole_body_kernel.py`) rather than
+measured: every horizon recurrence is an (H, H) x (H, K) MXU matmul
+(2*H*H*K flops each) and the FK/cost stack is elementwise VPU work
+per (H, K) element.  XLA's own cost analysis can't see inside a Pallas
+custom call, hence the hand count.  Two numbers are reported:
+
+* ``flops_matmul`` — the MXU matmuls alone.  Exact (statically counted
+  from the per-mode operator list) and a hard lower bound.
+* ``flops_total`` — matmuls + an itemized VPU estimate (quaternion chain
+  FK, rollout attitude algebra, cost stack, in-kernel noise generation,
+  the pass-2 weighted reduction).  Transcendentals (sin/cos/erfinv/
+  rsqrt) are counted as one flop each, the usual MFU convention.
+
+MFU is quoted against the device's peak *bf16* MXU throughput — the
+honest ceiling for "how much of this chip are we using" even though the
+kernel runs f32 (f32 ceilings are lower; using the bf16 peak understates
+MFU rather than flattering it).
+
+Peak numbers: public TPU spec sheets (v5e 197 bf16 TFLOP/s, v4 275,
+v5p 459, v6e/Trillium 918).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+# Peak dense bf16 TFLOP/s per chip, by jax device_kind substring.
+PEAK_BF16_TFLOPS = {
+    "v6e": 918.0,
+    "v6 lite": 918.0,
+    "v5p": 459.0,
+    "v5e": 197.0,
+    "v5 lite": 197.0,
+    "v4": 275.0,
+}
+
+N_JOINTS = 7
+A_TOTAL = 11
+
+
+def peak_flops_for(device_kind: str) -> Optional[float]:
+    """Peak bf16 flop/s for a jax ``device_kind`` string (None if unknown)."""
+    kind = (device_kind or "").lower()
+    for key, tf in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return tf * 1e12
+    return None
+
+
+def _mode_matmuls(mode: str, rotor_lag: bool, drag: bool) -> int:
+    """Number of (H, H) @ (H, K) matmuls in pass 1 of the fused kernel.
+
+    Mirrors ``whole_body_kernel._rollout_cost``: 7 arm double-integrations
+    always; then per mode the base-trajectory operators.
+    """
+    n = N_JOINTS  # q_arm per joint
+    if mode == "attitude":
+        n += 1 if rotor_lag else 0      # thrust lag
+        n += 4                          # g_rp/go_rp on roll+pitch
+        n += 2                          # g_y/go_y on yaw
+        n += 3                          # velocity operator (dvmat) per axis
+        n += 3                          # position cumsum (lmat) per axis
+    elif mode == "wrench":
+        n += 4 if rotor_lag else 0      # lag on the full wrench
+        n += 3                          # omega cumsum per axis
+        n += 3                          # velocity operator per axis
+        n += 3                          # position cumsum per axis
+    elif mode == "position":
+        n += 6                          # g/go per axis (xy shared matrix, z)
+        n += 3                          # dmat finite-difference omega
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return n
+
+
+# VPU flops per (H, K) element, itemized from the kernel's elementwise ops.
+# Conventions: mul/add/sub = 1, transcendental (sin, cos, sqrt, erfinv,
+# exp, div) = 1.
+_VPU_QUAT_MUL = 28          # 16 mul + 12 add
+_VPU_QUAT_ROT = 30          # _quat_rotate_const: 18 mul + 12 add
+_VPU_FK_PER_JOINT = _VPU_QUAT_MUL + _VPU_QUAT_ROT + 8   # + cos/sin + jq build
+_VPU_COST_STACK = 90        # pose err, quat geodesic (atan2 poly ~20), base/
+                            # att/omega/vel/action/limit/obstacle terms
+_VPU_ROLLOUT_MISC = 60      # quat_from_rpy / rotvec, z_world, acc, clips
+
+
+def solve_flops(
+    k: int,
+    h: int,
+    mode: str = "attitude",
+    rotor_lag: bool = True,
+    drag: bool = False,
+    use_prng: bool = True,
+) -> dict:
+    """Analytic flop count for ONE fused whole-body solve at (K, H)."""
+    mm = _mode_matmuls(mode, rotor_lag, drag)
+    flops_matmul = 2.0 * mm * h * h * k
+
+    per_elem = (
+        N_JOINTS * _VPU_FK_PER_JOINT + _VPU_COST_STACK + _VPU_ROLLOUT_MISC
+    )
+    if mode == "wrench":
+        # Hillis-Steele quaternion prefix scan: log2(H) rounds of quat_mul
+        # + the arm gravity-moment chain (~7 links x cross products).
+        import math
+
+        per_elem += _VPU_QUAT_MUL * math.ceil(math.log2(max(h, 2)))
+        per_elem += N_JOINTS * 40
+    flops_vpu = per_elem * h * k
+
+    # In-kernel noise: bits draw + erfinv + scale, per (A, H, K) element,
+    # generated twice (cost pass + regenerated update pass).
+    flops_noise = (4 * A_TOTAL * h * k) * (2 if use_prng else 1)
+    # Pass-2 weighted reductions: weight*eps accumulate + second moment.
+    flops_update = 4 * A_TOTAL * h * k
+
+    total = flops_matmul + flops_vpu + flops_noise + flops_update
+    return {
+        "flops_matmul": flops_matmul,
+        "flops_vpu_est": flops_vpu,
+        "flops_noise_est": flops_noise,
+        "flops_update_est": flops_update,
+        "flops_total": total,
+        "n_hh_matmuls": mm,
+    }
+
+
+def mfu(flops_per_solve: float, seconds_per_solve: float,
+        device_kind: str) -> Optional[float]:
+    """Achieved fraction of peak bf16 throughput (None if unknown device)."""
+    peak = peak_flops_for(device_kind)
+    if not peak or seconds_per_solve <= 0:
+        return None
+    return flops_per_solve / seconds_per_solve / peak
+
+
+def annotate(stats: dict, k: int, h: int, device_kind: str,
+             mode: str = "attitude", **kw) -> dict:
+    """Extend a ``{ms_per_solve, solves_per_s}`` record with achieved
+    FLOP/s and MFU-vs-bf16-peak."""
+    counts = solve_flops(k, h, mode=mode, **kw)
+    sec = stats["ms_per_solve"] * 1e-3
+    achieved = counts["flops_total"] / sec
+    out = dict(stats)
+    out["gflops_per_solve"] = round(counts["flops_total"] / 1e9, 3)
+    out["gflops_matmul_per_solve"] = round(counts["flops_matmul"] / 1e9, 3)
+    out["achieved_tflops"] = round(achieved / 1e12, 3)
+    m = mfu(counts["flops_total"], sec, device_kind)
+    out["mfu_vs_bf16_peak"] = round(m, 5) if m is not None else None
+    return out

@@ -236,10 +236,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.mode == "compare":
-        out = compare_logs(
-            dict(np.load(args.log_a)), dict(np.load(args.log_b)),
-            key=args.key, dt=args.dt,
-        )
+
+        def load(path):
+            # Reference-side recordings arrive as rosbags
+            # (rotors_evaluation's workflow); convert transparently.
+            if path.endswith(".bag"):
+                import tempfile
+
+                from .rosbag import bag_to_npz
+
+                with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+                    bag_to_npz(path, tmp.name)
+                    return dict(np.load(tmp.name))
+            return dict(np.load(path))
+
+        out = compare_logs(load(args.log_a), load(args.log_b), key=args.key, dt=args.dt)
     else:
         out = oracle_parity_report(n_steps=args.steps)
     print(json.dumps(out))

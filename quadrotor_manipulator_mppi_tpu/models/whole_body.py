@@ -222,11 +222,10 @@ def _base_rollout_parallel(
     attitude -> acc -> new vel -> new pos) with quaternion instead of
     euler-rate attitude integration — first-order equivalent, and closer to
     the full plant (``multirotor.step``), which also integrates quaternions.
-    drag_kd > 0 would make vel an affine recurrence (still scannable);
-    unsupported here until needed.
+    drag_kd > 0 makes vel an affine recurrence, realized as one more
+    precomputed (H, H) operator (:func:`_drag_decay_operator`) — still fully
+    parallel-in-time.
     """
-    if params.drag_kd:
-        raise NotImplementedError("drag_kd > 0 requires the scan rollout")
     dtype = base_u.dtype
     vehicle = params.vehicle
     m = vehicle.mass + params.arm_mass_lump
@@ -245,9 +244,42 @@ def _base_rollout_parallel(
         axis=-1,
     )
     acc = z_world * base_u[..., 0:1] / m - jnp.asarray([0.0, 0.0, 9.81], dtype)
-    vel = state.base.vel + jnp.cumsum(acc * dt, axis=-2)
+    vel = _drag_velocity(params.drag_kd, dt, state.base.vel, acc)
     pos = state.base.pos + jnp.cumsum(vel * dt, axis=-2)
     return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
+
+
+@functools.lru_cache(maxsize=None)
+def _drag_decay_operator(h: int, alpha: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Linear-drag velocity recurrence as a parallel-in-time operator.
+
+    v_{t+1} = alpha v_t + dt a_t (alpha = 1 - dt k_d, matching ``step12``'s
+    explicit-Euler drag `- drag_kd * vel`) unrolls to
+    v_t = alpha^{t+1} v_0 + sum_{s<=t} alpha^{t-s} dt a_s — one (H, H)
+    lower-triangular MXU matmul over the acceleration sequence plus a decay
+    profile on the initial velocity.  alpha=1 degenerates to the plain
+    cumsum.  Returns ``(D (H, H), hom (H,))``.
+    """
+    d = np.zeros((h, h))
+    for t in range(h):
+        d[t, : t + 1] = alpha ** np.arange(t, -1, -1)
+    hom = alpha ** np.arange(1, h + 1)
+    return d, hom
+
+
+def _drag_velocity(
+    drag_kd: float, dt: float, vel0: Array, acc: Array
+) -> Array:
+    """Velocity trajectory under linear drag from the (K, H, 3) acceleration
+    sequence (thrust/m - g, drag excluded); plain cumsum when drag is off."""
+    if not drag_kd:
+        return vel0 + jnp.cumsum(acc * dt, axis=-2)
+    d, hom = _drag_decay_operator(acc.shape[-2], 1.0 - dt * drag_kd)
+    dtype = acc.dtype
+    return (
+        jnp.einsum("ts,...si->...ti", jnp.asarray(d, dtype), acc * dt)
+        + jnp.asarray(hom, dtype)[:, None] * vel0
+    )
 
 
 def _rotor_lag_matrix(h: int, dt: float, tau: float) -> np.ndarray:
@@ -359,9 +391,7 @@ def _base_rollout_attitude(
         axis=-1,
     )
     acc = z_world * base_u[..., 0:1] / m - jnp.asarray([0.0, 0.0, 9.81], dtype)
-    if params.drag_kd:
-        raise NotImplementedError("drag_kd > 0 unsupported in attitude mode")
-    vel = state.base.vel + jnp.cumsum(acc * dt, axis=-2)
+    vel = _drag_velocity(params.drag_kd, dt, state.base.vel, acc)
     pos = state.base.pos + jnp.cumsum(vel * dt, axis=-2)
     return BaseTraj(pos=pos, quat=quat, vel=vel, omega=omega)
 

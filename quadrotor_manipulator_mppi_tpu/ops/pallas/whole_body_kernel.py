@@ -59,6 +59,7 @@ from ...models.chain import matrix_to_quat_np
 from ...models.whole_body import (
     N_BASE_ACTIONS,
     _attitude_response_matrices,
+    _drag_decay_operator,
     _rotor_lag_matrix,
 )
 from ...ops import sampling
@@ -88,7 +89,9 @@ _COL_WPOS = 2        # EE position weight (stage for t<H-1, terminal at H-1)
 _COL_WORI = 3        # EE orientation weight
 _COL_WBASE = 4       # base position-error weight (0 at the terminal step)
 _COL_HOM = 5         # 6: homogeneous response columns (per axis: pos, vel)
-_COL_LEN = 11
+_COL_VHOM = 11       # linear-drag velocity decay alpha^(t+1) (ones: no drag)
+_COL_PHOM = 12       # dt * cumsum(alpha^(t+1)) — initial-velocity term of pos
+_COL_LEN = 13
 
 
 # atan(t) ~ t * P(t^2) on [0, 1]: degree-15 odd least-squares fit on
@@ -286,8 +289,11 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
     def hom(i):
         return cols_ref[:, _COL_HOM + i:_COL_HOM + i + 1]
 
+    vhom = cols_ref[:, _COL_VHOM:_COL_VHOM + 1]
+    phom = cols_ref[:, _COL_PHOM:_COL_PHOM + 1]
+
     if c["mode"] == "attitude":
-        lmat, fmat = mats_ref[1], mats_ref[2]
+        lmat, fmat, dvmat = mats_ref[1], mats_ref[2], mats_ref[7]
         g_rp, go_rp, g_y, go_y = mats_ref[3], mats_ref[4], mats_ref[5], mats_ref[6]
         thrust = _mm(fmat, v[0]) if c["rotor_lag"] else v[0]
         roll = _mm(g_rp, v[1]) + hom(0)
@@ -305,20 +311,23 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         ax = zx * thrust * inv_m
         ay = zy * thrust * inv_m
         az = zz * thrust * inv_m - 9.81
-        cvx, cvy, cvz = _mm(lmat, ax), _mm(lmat, ay), _mm(lmat, az)
-        vel = (sc_ref[_SC_VEL0] + dt * cvx,
-               sc_ref[_SC_VEL0 + 1] + dt * cvy,
-               sc_ref[_SC_VEL0 + 2] + dt * cvz)
-        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * tcol + dt * dt * _mm(lmat, cvx),
-               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * tcol + dt * dt * _mm(lmat, cvy),
-               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * tcol + dt * dt * _mm(lmat, cvz))
+        # dvmat is the drag-decay velocity operator (== lmat cumsum when
+        # drag_kd = 0); vhom/phom carry the initial velocity's decay
+        # (models/whole_body._drag_decay_operator).
+        cvx, cvy, cvz = _mm(dvmat, ax), _mm(dvmat, ay), _mm(dvmat, az)
+        vel = (sc_ref[_SC_VEL0] * vhom + dt * cvx,
+               sc_ref[_SC_VEL0 + 1] * vhom + dt * cvy,
+               sc_ref[_SC_VEL0 + 2] * vhom + dt * cvz)
+        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * phom + dt * dt * _mm(lmat, cvx),
+               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * phom + dt * dt * _mm(lmat, cvy),
+               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * phom + dt * dt * _mm(lmat, cvz))
         omega_sq = om_r * om_r + om_p * om_p + om_y * om_y
     elif c["mode"] == "wrench":
         # Direct-wrench rollout (models/whole_body._base_rollout_parallel):
         # rotor lag on the whole commanded wrench, arm gravity moment
         # coupling, omega cumsum, quaternion prefix scan for attitude,
-        # velocity/position cumsums.
-        lmat, fmat = mats_ref[1], mats_ref[2]
+        # velocity/position cumsums (drag-decay operator when drag_kd > 0).
+        lmat, fmat, dvmat = mats_ref[1], mats_ref[2], mats_ref[3]
         if c["rotor_lag"]:
             wrench = [_mm(fmat, v[i]) for i in range(4)]
         else:
@@ -345,13 +354,16 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         ax = zx * thrust * inv_m
         ay = zy * thrust * inv_m
         az = zz * thrust * inv_m - 9.81
-        cvx, cvy, cvz = _mm(lmat, ax), _mm(lmat, ay), _mm(lmat, az)
-        vel = (sc_ref[_SC_VEL0] + dt * cvx,
-               sc_ref[_SC_VEL0 + 1] + dt * cvy,
-               sc_ref[_SC_VEL0 + 2] + dt * cvz)
-        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * tcol + dt * dt * _mm(lmat, cvx),
-               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * tcol + dt * dt * _mm(lmat, cvy),
-               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * tcol + dt * dt * _mm(lmat, cvz))
+        # dvmat is the drag-decay velocity operator (== lmat cumsum when
+        # drag_kd = 0); vhom/phom carry the initial velocity's decay
+        # (models/whole_body._drag_decay_operator).
+        cvx, cvy, cvz = _mm(dvmat, ax), _mm(dvmat, ay), _mm(dvmat, az)
+        vel = (sc_ref[_SC_VEL0] * vhom + dt * cvx,
+               sc_ref[_SC_VEL0 + 1] * vhom + dt * cvy,
+               sc_ref[_SC_VEL0 + 2] * vhom + dt * cvz)
+        pos = (sc_ref[_SC_POS0] + sc_ref[_SC_VEL0] * phom + dt * dt * _mm(lmat, cvx),
+               sc_ref[_SC_POS0 + 1] + sc_ref[_SC_VEL0 + 1] * phom + dt * dt * _mm(lmat, cvy),
+               sc_ref[_SC_POS0 + 2] + sc_ref[_SC_VEL0 + 2] * phom + dt * dt * _mm(lmat, cvz))
         omega_sq = om_r * om_r + om_p * om_p + om_y * om_y
     else:  # position mode
         g_xy, go_xy, g_z, go_z, dmat = (
@@ -535,16 +547,22 @@ def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
     lower = np.tril(np.ones((h, h)))
     strict = np.tril(np.ones((h, h)), k=-1)
     q_arm = dt * dt * (lower @ strict + 0.5 * lower)
+    # Velocity operator: plain cumsum, or the linear-drag decay recurrence
+    # (models/whole_body._drag_decay_operator) when drag_kd > 0.
+    dvmat = (
+        _drag_decay_operator(h, 1.0 - dt * mp.drag_kd)[0]
+        if mp.drag_kd else lower
+    )
     if mp.control_mode == "attitude":
         fmat = (_rotor_lag_matrix(h, dt, mp.rotor_lag_tau)
                 if mp.rotor_lag_tau > 0.0 else np.eye(h))
         g_rp, go_rp, _ = _attitude_response_matrices(h, dt, mp.att_kp_rp, mp.att_kd_rp)
         g_y, go_y, _ = _attitude_response_matrices(h, dt, mp.att_kp_yaw, mp.att_kd_yaw)
-        mats = [q_arm, lower, fmat, g_rp, go_rp, g_y, go_y]
+        mats = [q_arm, lower, fmat, g_rp, go_rp, g_y, go_y, dvmat]
     elif mp.control_mode == "wrench":
         fmat = (_rotor_lag_matrix(h, dt, mp.rotor_lag_tau)
                 if mp.rotor_lag_tau > 0.0 else np.eye(h))
-        mats = [q_arm, lower, fmat]
+        mats = [q_arm, lower, fmat, dvmat]
     else:
         g_xy, go_xy, _ = _attitude_response_matrices(h, dt, mp.pos_kp_xy, mp.pos_kd_xy)
         g_z, go_z, _ = _attitude_response_matrices(h, dt, mp.pos_kp_z, mp.pos_kd_z)
@@ -554,7 +572,9 @@ def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
     return np.stack(mats).astype(np.float32)
 
 
-def _host_static_cols(cp, h: int, dt: float, gamma: float) -> np.ndarray:
+def _host_static_cols(
+    cp, h: int, dt: float, gamma: float, drag_kd: float = 0.0
+) -> np.ndarray:
     cols = np.zeros((h, _COL_LEN), np.float32)
     cols[:, _COL_TCOL] = dt * np.arange(1, h + 1)
     cols[:, _COL_GAMMA] = gamma ** np.arange(h)
@@ -564,6 +584,9 @@ def _host_static_cols(cp, h: int, dt: float, gamma: float) -> np.ndarray:
     cols[-1, _COL_WORI] = cp.terminal_orientation_weight
     cols[:, _COL_WBASE] = cp.base_pos_weight / h
     cols[-1, _COL_WBASE] = 0.0
+    vhom = (1.0 - dt * drag_kd) ** np.arange(1, h + 1)
+    cols[:, _COL_VHOM] = vhom
+    cols[:, _COL_PHOM] = dt * np.cumsum(vhom)
     return cols
 
 
@@ -612,8 +635,6 @@ def make_whole_body_pallas_step(
         raise ValueError("fused kernel requires scalar or diagonal sigma")
     if mp.control_mode in ("attitude", "wrench") and not mp.time_parallel:
         raise ValueError("fused kernel is parallel-in-time only")
-    if mp.control_mode == "wrench" and mp.drag_kd:
-        raise ValueError("drag_kd > 0 unsupported in the fused wrench rollout")
     spec, oq, ot = _chain_constants()
     if mp.arm_tip != "link_7":
         raise ValueError("fused kernel bakes the link_7 tip frame")
@@ -645,7 +666,7 @@ def make_whole_body_pallas_step(
     )
 
     mats_np = _host_matrices(mp, h, dt)
-    cols_static = _host_static_cols(cp, h, dt, cp.gamma)
+    cols_static = _host_static_cols(cp, h, dt, cp.gamma, mp.drag_kd)
     n_mats = mats_np.shape[0]
 
     vm = pltpu.VMEM
@@ -732,7 +753,9 @@ def make_whole_body_pallas_step(
             obs.state.base.omega.astype(jnp.float32),
             g_b,
         ])
-        cols = jnp.asarray(cols_static).at[:, _COL_HOM:].set(_hom_cols(obs))
+        cols = jnp.asarray(cols_static).at[:, _COL_HOM:_COL_HOM + 6].set(
+            _hom_cols(obs)
+        )
         mats = jnp.asarray(mats_np)
         u_prev = state.u_prev.astype(jnp.float32)
 

@@ -482,8 +482,12 @@ def run_pick_weight(args):
     The stand is both scene geometry (a sphere-approximated obstacle in the
     solver's cost, so sampled approaches avoid clipping it — the in-cost
     analog of Gazebo's collision geometry) and the payload's pre-grasp
-    rest: the weight sits static at the grasp point until the gripper
-    closes on it, exactly like the reference world's resting weight."""
+    rest.  The weight itself is a FREE RIGID BODY (``sim/graspable``): a
+    careless approach pushes it off the stand and the grasp fails, exactly
+    the failure mode of the reference world's independent weight body.  The
+    approach is therefore staged like a real pick: fly to a pre-grasp pose
+    ABOVE the object, then descend vertically onto it with the open
+    gripper's fingers straddling the weight, then close and lift."""
     import dataclasses
 
     import jax
@@ -532,12 +536,33 @@ def run_pick_weight(args):
     )
     obj = grb.init_graspable(gp, pos=tuple(payload_pos))
 
-    # Phase 1: reach the grasp pose above the stand (gripper open).
-    run1 = wbl.make_whole_body_episode(
-        params, n_control_steps=phase1, graspable=gp
+    # Phase 1a: fly to the PRE-GRASP pose above the object (gripper open).
+    # Approaching from above keeps the lateral transient away from the
+    # free body — a sideways swipe would knock it off the stand.
+    pregrasp_target = Pose(
+        position=grasp_target.position + jnp.asarray([0.0, 0.0, 0.12]),
+        quat=grasp_target.quat,
     )
-    (plant, solver, _, _, obj), log1 = jax.jit(run1)(
+    p1a = max(phase1 * 3 // 5, 60)
+    p1b = max(phase1 - p1a, 60)
+    run1a = wbl.make_whole_body_episode(
+        params, n_control_steps=p1a, graspable=gp
+    )
+    (plant, solver, _, _, obj), log1a = jax.jit(run1a)(
+        plant, solver, pregrasp_target, obs0.base_target, obj
+    )
+
+    # Phase 1b: descend vertically onto the weight; the open fingers
+    # straddle it (sim/graspable ee_radius_open), so the palm contact only
+    # engages once the object center reaches the palm — inside grasp_tol.
+    run1b = wbl.make_whole_body_episode(
+        params, n_control_steps=p1b, graspable=gp
+    )
+    (plant, solver, _, _, obj), log1b = jax.jit(run1b)(
         plant, solver, grasp_target, obs0.base_target, obj
+    )
+    log1 = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b]), log1a, log1b
     )
     e1, t1 = log1.ee_err, log1.tilt
     grasp_err = float(np.asarray(e1)[-50:].mean())
@@ -572,7 +597,6 @@ def run_pick_weight(args):
             args,
         )
         return
-    import dataclasses as _dc
 
     obj = obj._replace(attached=jnp.ones((), jnp.bool_))
 

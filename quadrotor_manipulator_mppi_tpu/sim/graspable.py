@@ -15,7 +15,16 @@ point-mass free body so the approach phase has object contact:
   and the object, so flying the EE through the grasp point *pushes the
   object away* instead of teleporting through it (the failure mode the
   reference world actually exhibits); the equal-and-opposite reaction is
-  returned for the plant to feel;
+  returned for the plant to feel.  The contact radius is gripper-state
+  dependent: an OPEN gripper's fingers straddle the object (the reference's
+  j2s7s300 three-finger hand opens wider than the 8 cm weight), so the push
+  engages only once the object center reaches the palm itself
+  (``ee_radius_open``, default 0 — contact onset at ``radius`` < the
+  ``grasp_tol`` aperture); a CLOSED (but not attached) gripper presents the
+  full fist (``ee_radius``).  This keeps the geometry consistent with the
+  grasp criterion — with a single full-fist radius the open-gripper
+  approach pushed the object away at 0.10 m while attach demanded 0.05 m,
+  which is geometrically unsatisfiable (round-2 regression);
 * **grasp attach** — when the gripper commands closed AND the palm is within
   ``grasp_tol`` of the object, the object becomes a rigid follower of the EE
   (the reference's added-mass attach, ``controller.cpp:159-161``; the
@@ -45,7 +54,10 @@ GRAVITY = 9.80665
 class GraspableParams:
     mass: float = 0.5                      # pick_weight weight [kg]
     radius: float = 0.04                   # object bounding sphere [m]
-    ee_radius: float = 0.06                # gripper palm sphere [m]
+    ee_radius: float = 0.06                # closed-gripper fist sphere [m]
+    ee_radius_open: float = 0.0            # open gripper: fingers straddle;
+    #   palm contact engages at `radius + ee_radius_open` — must stay below
+    #   grasp_tol or the approach can never satisfy the attach criterion
     grasp_tol: float = 0.05                # attach reach (aperture) [m]
     # Support stand: top disc the object rests on (world frame).
     stand_center_xy: Tuple[float, float] = (0.0, 0.0)
@@ -99,13 +111,18 @@ def _support_force(params: GraspableParams, pos: Array, vel: Array) -> Array:
 
 
 def _ee_push_force(
-    params: GraspableParams, pos: Array, vel: Array, ee_pos: Array, ee_vel: Array
+    params: GraspableParams,
+    pos: Array,
+    vel: Array,
+    ee_pos: Array,
+    ee_vel: Array,
+    ee_radius: Array,
 ) -> Array:
     """Sphere-sphere penalty force ON THE OBJECT from the gripper palm."""
     d = pos - ee_pos
     dist = jnp.linalg.norm(d)
     n = d / (dist + 1e-9)
-    pen = jnp.maximum(params.radius + params.ee_radius - dist, 0.0)
+    pen = jnp.maximum(params.radius + ee_radius - dist, 0.0)
     rel_vn = jnp.dot(vel - ee_vel, n)
     fn = jnp.maximum(params.ee_stiffness * pen - params.ee_damping * rel_vn, 0.0)
     return fn * n * (pen > 0.0)
@@ -132,10 +149,14 @@ def graspable_step(
     dtype = state.pos.dtype
     sub_dt = dt / params.n_substeps
     g = jnp.asarray([0.0, 0.0, -GRAVITY * params.mass], dtype)
+    # Open fingers straddle the object; a closed fist presents ee_radius.
+    ee_r = jnp.where(
+        jnp.asarray(gripper_closed), params.ee_radius, params.ee_radius_open
+    )
 
     def substep(carry, _):
         pos, vel, f_acc = carry
-        f_push = _ee_push_force(params, pos, vel, ee_pos, ee_vel)
+        f_push = _ee_push_force(params, pos, vel, ee_pos, ee_vel, ee_r)
         f = g + _support_force(params, pos, vel) + f_push
         vel = vel + f / params.mass * sub_dt
         pos = pos + vel * sub_dt

@@ -156,6 +156,8 @@ def make_whole_body_episode(
     n_control_steps: int = 300,
     graspable: Optional[gr.GraspableParams] = None,
     gripper_closed: bool = False,
+    backend: str = "xla",
+    contact: "Optional[object]" = None,
 ):
     """Returns run((plant, solver_state, obs_targets)) -> (final, logs).
 
@@ -165,7 +167,15 @@ def make_whole_body_episode(
     the gripper palm can push the object off its stand during the approach,
     and the push reaction acts back on the vehicle as an external wrench.
     ``gripper_closed`` is the episode-static gripper command (the phased
-    pick-weight scenario closes it between episodes)."""
+    pick-weight scenario closes it between episodes).
+
+    ``contact`` (a ``sim.contact.ContactParams``) enables the generalized
+    primitive contact layer: the vehicle hull and arm-link collision
+    spheres feel the world geometry (ground/stand), with forces applied as
+    a quasi-static base wrench + Jacobian-projected arm torques per
+    control period — the in-framework analog of Gazebo's link collision
+    (``worlds/basic.world:20-37``).  ``backend`` selects the solver
+    pipeline ("xla" or the fused "pallas")."""
     params = params or wbs.WholeBodyMPPIParams()
     vehicle = params.model.vehicle
     plant_lump = (
@@ -190,7 +200,7 @@ def make_whole_body_episode(
         com[-1] = com[-1] * (m7 / (m7 + mp))
         m[-1] = m7 + mp
         inertials = _dc.replace(inertials, mass=m, com=com)
-    step, _ = wbs.make_whole_body_solver(params)
+    step, _ = wbs.make_whole_body_solver(params, backend=backend)
 
     mode = params.model.control_mode
     inertia = jnp.asarray(vehicle.inertia, jnp.float32)
@@ -348,6 +358,16 @@ def make_whole_body_episode(
         # the vehicle as a constant body wrench for the period.
         dtype = plant.base.pos.dtype
         ext_wrench_b = (jnp.zeros(3, dtype), jnp.zeros(3, dtype))
+        if contact is not None:
+            # Generalized primitive contact: hull + arm links vs world.
+            from . import contact as ct
+
+            f_cb, tau_cb, tau_carm = ct.whole_body_contact(
+                contact, spec, plant.q, plant.qdot, plant.base.pos,
+                plant.base.quat, plant.base.vel, plant.base.omega,
+            )
+            ext_wrench_b = (ext_wrench_b[0] + f_cb, ext_wrench_b[1] + tau_cb)
+            tau_arm = jnp.clip(tau_arm + tau_carm, -effort, effort)
         if graspable is not None:
             from ..models import chain as chain_mod
 
@@ -376,6 +396,14 @@ def make_whole_body_episode(
                 ee_pos_now - plant.base.pos, reaction_w
             )
             ext_wrench_b = (f_b, tau_b)
+            # The manipulator feels the contact too: project the EE reaction
+            # through the arm Jacobian into joint torques (the same route
+            # tau_g takes base-ward), held constant over the control period
+            # — Gazebo's arm-side contact coupling, quasi-statically.
+            j_ee = jax.jacfwd(
+                lambda qq: fk_pos(qq, plant.base.pos, plant.base.quat)
+            )(plant.q)
+            tau_arm = jnp.clip(tau_arm + j_ee.T @ reaction_w, -effort, effort)
 
         (plant, _, _, _), _ = jax.lax.scan(
             physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b), None,

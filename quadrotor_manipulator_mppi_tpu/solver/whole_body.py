@@ -212,6 +212,13 @@ class WholeBodyOutput(NamedTuple):
     vdes: Array          # (7,) next arm velocity setpoint
 
 
+ATTITUDE_MIN_SAMPLES = 2048
+"""Validated sample-count floor for attitude mode (BASELINE.md "Control
+parity"): below K≈2048 the softmin average cannot cancel the exploration
+noise against the asymmetric rotor-lag rectification and the closed loop
+diverges.  Position-cascade mode is the low-K-robust configuration."""
+
+
 def make_whole_body_solver(
     params: WholeBodyMPPIParams = WholeBodyMPPIParams(),
     axis_name: Optional[str] = None,
@@ -219,6 +226,7 @@ def make_whole_body_solver(
     backend: str = "xla",
     pallas_use_prng: bool = True,
     pallas_interpret: bool = False,
+    low_k_guard: str = "warn",
 ):
     """Build (step, init) for the whole-body solve.
 
@@ -228,10 +236,32 @@ def make_whole_body_solver(
     leave VMEM).  Both backends are sharding-ready: trace with ``axis_name``
     + ``n_local_samples`` inside ``shard_map`` (``parallel/sharded.py``
     does this) and the sample-axis reductions become ICI collectives.
+
+    ``low_k_guard`` polices the documented attitude-mode divergence floor
+    (:data:`ATTITUDE_MIN_SAMPLES`): ``"warn"`` (default) emits a warning,
+    ``"error"`` raises, ``"off"`` silences — so a user configuring
+    ``control_mode="attitude"`` with small K gets told up front instead of
+    discovering silent instability mid-flight.
     """
     cfg = params.mppi
     cp = params.cost
     mp = params.model
+    if mp.control_mode == "attitude" and cfg.n_samples < ATTITUDE_MIN_SAMPLES:
+        msg = (
+            f"attitude-mode whole-body MPPI with n_samples={cfg.n_samples} is "
+            f"below the validated floor K={ATTITUDE_MIN_SAMPLES}: the closed "
+            "loop diverges (BASELINE.md 'Control parity'). Use "
+            "position-cascade mode for low K, raise n_samples, or pass "
+            "low_k_guard='off' to proceed anyway."
+        )
+        if low_k_guard == "error":
+            raise ValueError(msg)
+        if low_k_guard == "warn":
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+        elif low_k_guard != "off":
+            raise ValueError(f"unknown low_k_guard {low_k_guard!r}")
     spec = mp.chain()
     q_lower = jnp.asarray(spec.lower, jnp.float32)
     q_upper = jnp.asarray(spec.upper, jnp.float32)

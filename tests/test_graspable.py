@@ -52,13 +52,35 @@ def test_falls_off_support_to_ground():
 
 def test_ee_push_moves_object_and_reacts():
     s0 = gr.init_graspable(PARAMS)
-    # Palm overlapping the object from the -x side, moving into it.
+    # Closed fist overlapping the object from the -x side, moving into it —
+    # far enough out (> grasp_tol) that the close does NOT attach.
     ee = s0.pos + jnp.asarray([-(PARAMS.radius + PARAMS.ee_radius) * 0.6, 0, 0])
-    s, reaction = _roll(PARAMS, s0, ee, jnp.asarray([0.2, 0.0, 0.0]), False, 1)
+    s, reaction = _roll(PARAMS, s0, ee, jnp.asarray([0.2, 0.0, 0.0]), True, 1)
     # Object pushed in +x, reaction on the EE points in -x.
     assert float(s.pos[0]) > float(s0.pos[0]) + 1e-4
     assert float(reaction[0]) < 0.0
     assert not bool(s.attached)
+
+
+def test_open_gripper_straddles_to_grasp_tolerance():
+    """The round-2 regression: with a full-fist contact radius the open
+    gripper could never get within grasp_tol (contact onset 0.10 m >
+    0.05 m aperture).  Open fingers straddle the object: the EE parked just
+    outside the palm-contact onset is INSIDE grasp tolerance and the object
+    stays put."""
+    assert PARAMS.radius + PARAMS.ee_radius_open < PARAMS.grasp_tol
+    s0 = gr.init_graspable(PARAMS)
+    ee = s0.pos + jnp.asarray(
+        [0.0, 0.0, PARAMS.radius + PARAMS.ee_radius_open + 0.005]
+    )
+    s, reaction = _roll(PARAMS, s0, ee, ZERO3, False, 100)
+    dist = float(jnp.linalg.norm(s.pos - ee))
+    assert dist < PARAMS.grasp_tol
+    assert float(jnp.linalg.norm(s.pos[:2] - s0.pos[:2])) < 1e-3
+    np.testing.assert_allclose(np.asarray(reaction), 0.0, atol=1e-6)
+    # Now the gripper closes at this pose -> attach.
+    s, _ = _roll(PARAMS, s, ee, ZERO3, True, 1)
+    assert bool(s.attached)
 
 
 def test_gripper_open_near_object_does_not_attach():
@@ -83,8 +105,6 @@ def test_episode_with_free_body_object():
     """Whole-body episode threading the object: it stays on its stand while
     the vehicle holds position (EE nowhere near it), and the log carries the
     object track."""
-    import dataclasses
-
     from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
     from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
 

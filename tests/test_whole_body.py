@@ -174,3 +174,88 @@ def test_obstacle_cost_steers_samples():
     assert float(c[0]) > 0  # deep penetration penalized
     far = costs.sphere_obstacle_cost(points + 10.0, centers, radii, weight=1.0)
     np.testing.assert_allclose(np.asarray(far), 0.0)
+
+
+def test_attitude_low_k_guard():
+    """The documented attitude-mode divergence floor (BASELINE.md 'Control
+    parity': K >= ~2048) is enforced at solver construction — warn by
+    default, raise on request, silent for position mode and at/above the
+    floor."""
+    import warnings
+
+    import pytest
+
+    low = small_params(k=256)  # default model -> attitude mode
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        wbs.make_whole_body_solver(low)
+    assert any("below the validated floor" in str(w.message) for w in rec)
+
+    with pytest.raises(ValueError, match="below the validated floor"):
+        wbs.make_whole_body_solver(low, low_k_guard="error")
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        wbs.make_whole_body_solver(low, low_k_guard="off")
+        wbs.make_whole_body_solver(small_params(k=wbs.ATTITUDE_MIN_SAMPLES))
+        wbs.make_whole_body_solver(
+            wbs.position_mode_params(n_samples=64, n_horizon=10)
+        )
+    assert not rec
+
+
+def test_drag_kd_parallel_matches_scan():
+    """Linear velocity drag as a precomputed (H, H) decay operator: the
+    parallel-in-time wrench rollout with drag_kd > 0 must track the
+    sequential step12 scan (which applies `- drag_kd * vel` per step) —
+    closing the round-2 NotImplementedError (drag physics analog: rotor
+    aero drag, gazebo_motor_model.cpp:440-452)."""
+    import dataclasses
+
+    obs = wbs.default_obs()
+    k, h, dt = 16, 40, 0.01
+    noise = jax.random.normal(jax.random.key(5), (k, h, wbs.N_ACTIONS)) * (
+        jnp.asarray(wbs.default_sigma(), jnp.float32)
+    )
+    actions = wbm.hover_nominal_action(wbm.WholeBodyParams(), h)[None] + noise
+    # A hefty drag so the decay operator is exercised well away from cumsum.
+    p_par = wbm.WholeBodyParams(time_parallel=True, drag_kd=0.8)
+    p_seq = wbm.WholeBodyParams(time_parallel=False, drag_kd=0.8)
+    _, _, _, base_p = wbm.rollout(p_par, obs.state, actions, dt)
+    _, _, _, base_s = wbm.rollout(p_seq, obs.state, actions, dt)
+    np.testing.assert_allclose(
+        np.asarray(base_p.vel), np.asarray(base_s.vel), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(base_p.pos), np.asarray(base_s.pos), atol=2e-2
+    )
+    # And drag actually bites: terminal speeds shrink vs the drag-free roll.
+    _, _, _, base_0 = wbm.rollout(
+        wbm.WholeBodyParams(time_parallel=True), obs.state, actions, dt
+    )
+    v_drag = np.linalg.norm(np.asarray(base_p.vel[:, -1]), axis=-1).mean()
+    v_free = np.linalg.norm(np.asarray(base_0.vel[:, -1]), axis=-1).mean()
+    assert v_drag < v_free
+
+
+def test_drag_kd_attitude_mode_decays_initial_velocity():
+    """Attitude-mode rollout with drag: an initial lateral velocity decays
+    as alpha^t (no thrust tilt), matching the explicit-Euler drag law."""
+    import dataclasses
+
+    obs = wbs.default_obs()
+    base = obs.state.base._replace(vel=jnp.asarray([2.0, 0.0, 0.0]))
+    state = obs.state._replace(base=base)
+    h, dt, kd = 30, 0.01, 2.0
+    # Thrust exactly balancing gravity, level attitude setpoints.
+    mp = wbm.WholeBodyParams(drag_kd=kd)
+    u = jnp.broadcast_to(
+        wbm.hover_nominal_action(mp, h), (1, h, wbs.N_ACTIONS)
+    )
+    traj = wbm._base_rollout_attitude(mp, state, u[..., :4], dt, 1)
+    alpha = 1.0 - dt * kd
+    expect = 2.0 * alpha ** np.arange(1, h + 1)
+    np.testing.assert_allclose(
+        np.asarray(traj.vel[0, :, 0]), expect, rtol=1e-4, atol=1e-4
+    )

@@ -1,6 +1,7 @@
 """Full-plant whole-body closed loop (attitude mode, stabilized defaults)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -168,4 +169,33 @@ def test_warm_start_decay_reverts_to_nominal():
     # 100 -> ~nominal + 0.5^6 * 95 ~ nominal + 1.5
     np.testing.assert_allclose(
         np.asarray(state.u_prev[:, 0]), 5.0, atol=2.5
+    )
+
+
+@pytest.mark.slow
+def test_attitude_low_k_divergence_characterization():
+    """Characterization of the LOW-K attitude failure mode itself (the
+    boundary the guard enforces — BASELINE.md 'Control parity'): at K=256
+    the softmin average cannot cancel the exploration noise against the
+    asymmetric rotor-lag rectification, and the loop never settles at the
+    reach gate the K=2048 run holds.  If this starts PASSING the gate, the
+    floor moved — update ATTITUDE_MIN_SAMPLES and the docs."""
+    import warnings
+
+    params = small_params(k=256)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the guard fires, intentionally
+        run = wbl.make_whole_body_episode(params, n_control_steps=300)
+        plant = wbl.init_plant(params.model.vehicle)
+        _, init = wbs.make_whole_body_solver(params, low_k_guard="off")
+    obs0 = wbs.default_obs()
+    _, logs = jax.jit(run)(
+        plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(logs.ee_err)
+    # Divergent-or-drifting: the tail never approaches the 5 mm gate the
+    # validated configuration holds (comfortably an order of magnitude off).
+    assert not np.all(np.isfinite(e)) or e[-50:].min() > 0.05, (
+        f"low-K attitude run unexpectedly reached the gate: "
+        f"tail min {e[-50:].min():.4f} m — the divergence floor moved"
     )

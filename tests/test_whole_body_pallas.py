@@ -147,3 +147,17 @@ def test_rejects_unsupported_configs():
     )
     with pytest.raises(ValueError, match="unknown control mode"):
         make_whole_body_pallas_step(bad)
+
+
+def test_drag_kd_matches_xla_wrench_and_attitude():
+    """drag_kd > 0 in the fused kernel (VERDICT r2 item 6): the drag-decay
+    velocity operator and the vhom/phom initial-velocity columns must track
+    the XLA parallel-in-time rollout in both fused linear-velocity modes."""
+    p = _wrench_params(h=12)
+    p = dataclasses.replace(p, model=dataclasses.replace(p.model, drag_kd=0.5))
+    _run_both(p)
+    att = _small(wb.WholeBodyMPPIParams())
+    att = dataclasses.replace(
+        att, model=dataclasses.replace(att.model, drag_kd=0.5)
+    )
+    _run_both(att)
