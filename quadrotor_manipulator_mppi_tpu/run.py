@@ -226,6 +226,107 @@ def run_hover(args):
     )
 
 
+def run_figure_eight(args):
+    """Aggressive-maneuver scenario (ROADMAP control item): the adaptive
+    backstepping law tracks a figure-eight (Gerono lemniscate) with full
+    velocity feed-forward on the octorotor plant — the fast-curved-path
+    regime the reference never exercises (its controller only ever sees
+    step setpoints, ``controller.cpp:667-673``).
+
+    x = A sin(w tau), y = (A/2) sin(2w tau) at period ``--period``
+    (default 6 s, A = 1.5 m: peak speed ~1.6 m/s, peak lateral accel
+    ~1.6 m/s^2) with a smooth time-warp entry (tau(0) = tau'(0) = 0, so
+    the path is dynamically feasible from rest) and full velocity +
+    acceleration feed-forward.  Uses ``flight_control.AGGRESSIVE_GAINS``
+    plus the validated safeguards (tilt clip, adaptive-estimate
+    projection, integrator anti-windup — ``aggressive_safeguards``); the
+    adaptive law itself is the reference-parity backstepping.  Reports
+    tracking RMSE over the post-transient laps (gate: < 0.15 m at
+    defaults) and max tilt.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import multirotor as mr, vehicles
+    from .sim import closed_loop as cl, flight_control as fc
+
+    veh = vehicles.get(args.vehicle)
+    amp, period, z0 = 1.5, args.period, 2.0
+    omega = 2.0 * np.pi / period
+    dt = 0.001
+    n_ticks = args.steps * 10
+    t_ramp = 1.5
+
+    def ref(t):
+        # Smooth time-warp: tau = t^2/(t + t_ramp) starts at rest and
+        # approaches unit rate; derivatives give exact vel/acc references.
+        tau = t * t / (t + t_ramp)
+        dtau = (t * t + 2 * t * t_ramp) / (t + t_ramp) ** 2
+        ddtau = 2 * t_ramp * t_ramp / (t + t_ramp) ** 3
+        s, c = jnp.sin(omega * tau), jnp.cos(omega * tau)
+        s2, c2 = jnp.sin(2 * omega * tau), jnp.cos(2 * omega * tau)
+        zero = jnp.zeros_like(t)
+        pos = jnp.stack([amp * s, 0.5 * amp * s2, z0 + zero], -1)
+        vel = jnp.stack(
+            [amp * omega * c * dtau, amp * omega * c2 * dtau, zero], -1
+        )
+        acc = jnp.stack(
+            [
+                -amp * omega**2 * s * dtau**2 + amp * omega * c * ddtau,
+                -2 * amp * omega**2 * s2 * dtau**2 + amp * omega * c2 * ddtau,
+                zero,
+            ],
+            -1,
+        )
+        return pos, vel, acc
+
+    gains = fc.AGGRESSIVE_GAINS
+    safe = fc.aggressive_safeguards(veh)
+    plant0 = mr.init_state(veh, pos=(0.0, 0.0, z0))
+    plant0 = plant0._replace(
+        rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
+    )
+    ctrl0 = fc.init_ctrl_state(veh.mass)
+
+    def tick(carry, t):
+        plant, c = carry
+        p_ref, v_ref, a_ref = ref(t)
+        sp = fc.FlightSetpoint(
+            pos=p_ref, vel=v_ref,
+            yaw=jnp.zeros((), p_ref.dtype), yaw_rate=jnp.zeros((), p_ref.dtype),
+        )
+        u, c = fc.backstepping_step(
+            gains, veh, c, sp, pos=plant.pos, vel_world=plant.vel,
+            rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=dt,
+            acc_ff=a_ref, **safe,
+        )
+        plant = mr.step(veh, plant, fc.allocate(veh, u), dt)
+        tilt = jnp.linalg.norm(cl.rpy_of(plant)[:2])
+        return (plant, c), (jnp.linalg.norm(plant.pos - p_ref), tilt)
+
+    ts = jnp.arange(n_ticks, dtype=jnp.float32) * dt
+    run = jax.jit(lambda c0: jax.lax.scan(tick, c0, ts)[1])
+    err, tilt = run((plant0, ctrl0))
+    err, tilt = np.asarray(err), np.asarray(tilt)
+    # Skip the entry transient (the time-warp spans roughly the first lap).
+    settle = min(int(period / dt), n_ticks // 2)
+    e_track = err[settle:]
+    _finish(
+        "figure-eight",
+        {
+            "vehicle": args.vehicle,
+            "period_s": period,
+            "peak_speed_ms": round(amp * omega, 2),
+            "track_rms_m": round(float(np.sqrt((e_track**2).mean())), 4),
+            "track_max_m": round(float(e_track.max()), 4),
+            "max_tilt_rad": round(float(tilt.max()), 3),
+            "passed": bool(np.sqrt((e_track**2).mean()) < 0.15),
+        },
+        {"err": err, "tilt": tilt},
+        args,
+    )
+
+
 def run_disturbance(args):
     """Gusty hover in a spatially-varying wind field: backstepping hover
     under (a) a static wind-field grid (vertical shear + lateral variation,
@@ -844,6 +945,7 @@ SCENARIOS = {
     "whole-body-full": run_whole_body_full,
     "multirotor-waypoint": run_multirotor_waypoint,
     "hover": run_hover,
+    "figure-eight": run_figure_eight,
     "mission": run_mission,
 }
 
@@ -861,16 +963,26 @@ def main(argv=None):
     p.add_argument("--save-log", default=None)
     p.add_argument("--vehicle", default="harrier",
                    help="hover: stock vehicle preset (models/vehicles.py)")
-    # bench-scaling options.
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
-                   help="bench-scaling: force the virtual CPU mesh")
+                   help="force the CPU backend (any scenario; bench-scaling "
+                        "uses it for the virtual mesh)")
+    # bench-scaling options.
     p.add_argument("--devices", type=int, default=8,
                    help="bench-scaling: mesh size (clamped to available)")
     p.add_argument("--k-per-device", type=int, default=2048, dest="k_per_device")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--period", type=float, default=6.0,
+                   help="figure-eight lap period [s]")
     p.add_argument("--scenarios", type=int, default=32,
                    help="whole-body-batch: batched episode count")
     args = p.parse_args(argv)
+    if args.platform == "cpu" and args.scenario != "bench-scaling":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under pytest conftest)
     SCENARIOS[args.scenario](args)
 
 

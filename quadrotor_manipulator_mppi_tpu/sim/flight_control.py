@@ -69,6 +69,38 @@ SIM_TUNED_GAINS = FlightGains(
     kd_x=1.5, kd_y=1.5, kp_z=6.0, kd_z=5.0, ki_z=1.0,
 )
 
+# Aggressive-trajectory preset (ROADMAP "adaptive-backstepping gains under
+# aggressive maneuvers").  The reference's envelope is hover/waypoint
+# (controller.cpp:443-584 only ever sees step setpoints); fast curved
+# trajectories (figure-eight, peak speed ~1.6 m/s, lateral accel
+# ~1.6 m/s^2 at the 6 s lap) needed three things, found by sweeping on the
+# full rotor-lag plant (tuning log in the round-3 history):
+#   1. the SAFEGUARDS (tilt_clip / m_hat_range / n_hat_clip / int_clip
+#      kwargs of backstepping_step): without them ANY gain set flips the
+#      vehicle at trajectory entry (one-tick near-vertical tilt command,
+#      then adaptive/integrator wind-up through saturation);
+#   2. reference-acceleration feed-forward (``acc_ff``) — removes most of
+#      the phase lag (0.23 -> 0.16 RMS at reference gains);
+#   3. a mild lateral retune: kp 3 -> 3.5, kd 0.7 -> 1.0.  The law's
+#      stability cliff is sharp — kp >= 4 or kd >= 1.5 diverges even WITH
+#      the safeguards (the -kp^2 e lateral term and the m_hat adaptation
+#      interact) — so this preset stays just inside the cliff.
+# Measured (run.py figure-eight, post-transient laps): RMS 0.118 m @ 6 s
+# lap, 0.052 m @ 8 s, 0.19 m @ 5 s; max tilt 0.36 rad.
+AGGRESSIVE_GAINS = FlightGains(
+    kp_x=3.5, kp_y=3.5, kd_x=1.0, kd_y=1.0,
+)
+
+
+def aggressive_safeguards(vehicle: MultirotorParams) -> dict:
+    """The backstepping safeguard kwargs validated with AGGRESSIVE_GAINS."""
+    return dict(
+        tilt_clip=0.45,
+        m_hat_range=(0.5 * vehicle.mass, 2.0 * vehicle.mass),
+        n_hat_clip=20.0,
+        int_clip=1.0,
+    )
+
 
 class FlightCtrlState(NamedTuple):
     """Cross-tick controller state (the C++ member variables)."""
@@ -201,6 +233,11 @@ def backstepping_step(
     dt: float,
     tau_g: Optional[Array] = None,
     yaw_mom: Optional[Array] = None,
+    tilt_clip: Optional[float] = None,
+    m_hat_range: Optional[Tuple[float, float]] = None,
+    n_hat_clip: Optional[float] = None,
+    int_clip: Optional[float] = None,
+    acc_ff: Optional[Array] = None,
 ) -> Tuple[Array, FlightCtrlState]:
     """Adaptive backstepping flight law (controller.cpp:443-584) ->
     (U [T, tau_x, tau_y, tau_z], new ctrl state).
@@ -210,6 +247,29 @@ def backstepping_step(
     :545-556).  The torque outputs keep the reference's (I/len) scaling and
     gyroscopic cross terms; its arm feed-forward enters roll/pitch as
     -len_ratio*tau_g terms (:547,555) and yaw directly (:560).
+
+    The three optional safeguards extend the law beyond the reference's
+    hover/waypoint envelope (all default OFF = reference behavior; the
+    aggressive-maneuver scenario turns them on — see AGGRESSIVE_GAINS):
+
+    * ``tilt_clip`` [rad] — clip the commanded tilt extracted from
+      (ux, uy): a large velocity feed-forward error at trajectory entry
+      otherwise commands near-vertical tilt in one tick;
+    * ``m_hat_range`` — projection bounds on the adaptive mass estimates
+      (standard sigma-mod/projection practice: unbounded integration winds
+      up through actuator saturation and never recovers);
+    * ``n_hat_clip`` — symmetric bound on the adaptive nx/ny terms;
+    * ``int_clip`` [m*s] — anti-windup clamp on the position-error
+      integrals: during a large transient the unbounded trapezoid
+      integral's -ki*kp*integral term eventually dominates the lateral
+      channel with the WRONG SIGN and locks the tilt away from the target
+      (observed: a 6 s figure-eight entry winds pint past the point of no
+      return while m_hat rails at its bound).
+
+    ``acc_ff`` (3,) adds world-frame reference-acceleration feed-forward
+    (differential-flatness style): laterally it enters the commanded-tilt
+    channel as a/g, vertically the thrust channel — the standard
+    trajectory-tracking extension the step-setpoint reference never needed.
     """
     dtype = pos.dtype
     ixx, iyy, izz = vehicle.inertia
@@ -222,6 +282,8 @@ def backstepping_step(
 
     err = sp.pos - pos
     integ = _trapezoid(err, ctrl.prev_err, ctrl.int_err, dt)
+    if int_clip is not None:
+        integ = jnp.clip(integ, -int_clip, int_clip)
 
     # --- altitude with adaptive mass (controller.cpp:495-501) ---
     e5 = err[..., 2]
@@ -232,31 +294,44 @@ def backstepping_step(
         + gains.kp_z * (-gains.kp_z * e5 - gains.ki_z * p5 + e6)
         + e5 + gains.kd_z * e6
     )
+    if acc_ff is not None:
+        az = az + acc_ff[..., 2]
     mz_hat = ctrl.m_hat[2] + 3.0 * e6 * az * dt
+    if m_hat_range is not None:
+        mz_hat = jnp.clip(mz_hat, m_hat_range[0], m_hat_range[1])
     u1 = (mz_hat / (jnp.cos(phi) * jnp.cos(theta))) * az
 
     # --- x/y with adaptive mass (controller.cpp:503-518) ---
-    def lateral(e, pint, vd, v, kp, ki, kd, m_prev):
+    def lateral(e, pint, vd, v, kp, ki, kd, m_prev, aff):
         e2 = vd + kp * e + ki * pint - v
-        a = ki * e - kp * kp * e - ki * kp * pint + kp * e2 + e + kd * e2
+        a = ki * e - kp * kp * e - ki * kp * pint + kp * e2 + e + kd * e2 + aff
         m_new = m_prev + 2.0 * e2 * a * dt
+        if m_hat_range is not None:
+            m_new = jnp.clip(m_new, m_hat_range[0], m_hat_range[1])
         return (m_new / u1) * a, m_new
 
+    aff = jnp.zeros(3, dtype) if acc_ff is None else acc_ff
     ux, mx_hat = lateral(
         err[..., 0], integ[..., 0], sp.vel[..., 0], vel_world[..., 0],
-        gains.kp_x, gains.ki_x, gains.kd_x, ctrl.m_hat[0],
+        gains.kp_x, gains.ki_x, gains.kd_x, ctrl.m_hat[0], aff[..., 0],
     )
     uy, my_hat = lateral(
         err[..., 1], integ[..., 1], sp.vel[..., 1], vel_world[..., 1],
-        gains.kp_y, gains.ki_y, gains.kd_y, ctrl.m_hat[1],
+        gains.kp_y, gains.ki_y, gains.kd_y, ctrl.m_hat[1], aff[..., 1],
     )
 
+    if tilt_clip is not None:
+        lim = float(np.sin(tilt_clip))
+        ux = jnp.clip(ux, -lim, lim)
+        uy = jnp.clip(uy, -lim, lim)
     roll_des, pitch_des = _desired_tilt(ux, uy, sp.yaw)
 
     # --- attitude backstepping with adaptive nx/ny (controller.cpp:541-560) ---
     z1 = phi - roll_des
     z2 = p - (0.0 - gains.kp_roll * z1)
     nx = ctrl.n_hat[0] + 3.0 * z2 * dt
+    if n_hat_clip is not None:
+        nx = jnp.clip(nx, -n_hat_clip, n_hat_clip)
     u2 = (ixx / ylen) * (
         -gains.kp_roll * (z2 - gains.kp_roll * z1) - z1 - gains.kd_roll * z2
         - nx - xlen * tau_g[..., 0] / ixx
@@ -265,6 +340,8 @@ def backstepping_step(
     z3 = theta - pitch_des
     z4 = q - (0.0 - gains.kp_pitch * z3)
     ny = ctrl.n_hat[1] + 3.0 * z4 * dt
+    if n_hat_clip is not None:
+        ny = jnp.clip(ny, -n_hat_clip, n_hat_clip)
     u3 = (iyy / xlen) * (
         -gains.kp_pitch * (z4 - gains.kd_pitch * z3) - z3 - gains.kd_pitch * z4
         - ny - ylen * tau_g[..., 1] / iyy

@@ -70,3 +70,14 @@ def test_drone_waypoint_rejects_lee(capsys):
 
     with _pytest.raises(SystemExit):
         main(["drone-waypoint", "--controller", "lee", "--steps", "10"])
+
+
+def test_figure_eight_aggressive_tracking(capsys):
+    """Aggressive-maneuver envelope (ROADMAP control item): the adaptive
+    backstepping law + AGGRESSIVE_GAINS + safeguards tracks the 6 s
+    figure-eight inside the 0.15 m RMSE gate without exceeding a 0.45 rad
+    commanded-tilt envelope."""
+    r = run_cli(capsys, ["figure-eight", "--steps", "1800"])
+    assert r["passed"] is True
+    assert r["track_rms_m"] < 0.15
+    assert r["max_tilt_rad"] < 0.6

@@ -199,3 +199,99 @@ def test_multihost_helpers_single_process():
     # Leading axis is sharded over the scenario mesh axis.
     spec = placed["x"].sharding.spec
     assert spec[0] == mesh_mod.SCENARIO_AXIS
+
+
+def test_multihost_initialize_arg_plumbing(monkeypatch):
+    """The env-var / explicit-arg / autodetect paths of multihost.initialize
+    pass the right kwargs to jax.distributed.initialize (VERDICT r2 item 7)
+    — monkeypatched, so no coordinator is actually contacted."""
+    from quadrotor_manipulator_mppi_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "QMM_MULTIHOST"):
+        monkeypatch.delenv(var, raising=False)
+
+    # Explicit args win verbatim.
+    monkeypatch.setattr(multihost, "_initialized", False)
+    topo = multihost.initialize("10.0.0.1:1234", 4, 2)
+    assert calls[-1] == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+    assert topo["initialized"] is True
+
+    # Standard env vars plumb through (ints parsed).
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h0:9999")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    multihost.initialize()
+    assert calls[-1] == {
+        "coordinator_address": "h0:9999", "num_processes": 2, "process_id": 1
+    }
+
+    # Cloud-TPU autodetect opt-in: no kwargs at all.
+    monkeypatch.setattr(multihost, "_initialized", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var)
+    monkeypatch.setenv("QMM_MULTIHOST", "1")
+    multihost.initialize()
+    assert calls[-1] == {}
+
+    # Nothing configured -> no initialization attempt, honest topology.
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.delenv("QMM_MULTIHOST")
+    n = len(calls)
+    topo = multihost.initialize()
+    assert len(calls) == n
+    assert topo["initialized"] is False
+
+    # Already-initialized guard: a second call never re-initializes.
+    monkeypatch.setattr(multihost, "_initialized", True)
+    monkeypatch.setenv("QMM_MULTIHOST", "1")
+    multihost.initialize()
+    assert len(calls) == n
+    monkeypatch.setattr(multihost, "_initialized", False)
+
+
+@requires_8
+def test_sharded_solve_collective_count():
+    """The 3-collectives-per-solve contract (ops/weights.py: pmin rho, psum
+    eta, psum weighted-noise) holds in the COMPILED program, not just in
+    comments: the sample-sharded solve lowers to at most 3 all-reduces
+    (XLA may fuse some, must never add any) and at least 1."""
+    n_dev = 8
+    k_total, h, a = 64, 16, 3
+    params = drone_solver.DroneMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=k_total, n_horizon=h, n_action=a,
+            dt=0.01, lam=0.1, sigma=30.0, savgol_window=5,
+        )
+    )
+    mesh = mesh_mod.make_mesh(n_sample_shards=n_dev, n_scenario_shards=1)
+    sharded_step, init = make_sharded_solver(
+        drone_solver.make_drone_solver, mesh, batch_scenarios=True,
+        params=params,
+    )
+    state = MPPIState(
+        u_prev=jnp.zeros((h, a)), key=jax.random.key(0),
+        sigma=jnp.full((a,), 30.0),
+    )
+    states = jax.tree.map(lambda x: x[None], state)
+    obs = jax.tree.map(
+        lambda x: x[None],
+        drone_solver.DroneObs(
+            x=jnp.zeros(3), v=jnp.zeros(3),
+            target=jnp.asarray(drone_solver.DEFAULT_TARGET),
+        ),
+    )
+    with jax.set_mesh(mesh):
+        txt = jax.jit(sharded_step).lower(states, obs).compile().as_text()
+    n_ar = txt.count("all-reduce(") + txt.count("all-reduce-start(")
+    assert 1 <= n_ar <= 3, f"collective contract broken: {n_ar} all-reduces"
