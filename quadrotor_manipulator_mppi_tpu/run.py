@@ -934,7 +934,83 @@ def run_bench_scaling(args):
     )
 
 
+def run_fixed_wing(args):
+    """Fixed-wing waypoint flyby: MPPI flies the Techpod airframe
+    (``models/fixed_wing.py``, the gazebo_fw_dynamics_plugin physics) to a
+    waypoint ahead and off-axis, then reports the closest approach.
+
+    The loop is fully jitted: one solver tick per 0.05 s, the plant
+    integrating 5 x 0.01 s substeps holding the commanded surfaces — the
+    same outer-solve / inner-physics split as the rotorcraft scenarios.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import fixed_wing as fw
+    from .solver import fixed_wing as fw_solver
+    from .solver.mppi import MPPIConfig
+
+    params = fw_solver.FwMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=args.k or 1024,
+            n_horizon=40,
+            n_action=4,
+            dt=0.05,
+            lam=0.05,
+            sigma=(0.25, 0.25, 0.2, 0.15),
+            savgol_window=5,
+            savgol_polyorder=2,
+            shift_warm_start=True,
+            u_min=(-1.0, -1.0, -1.0, -0.5),
+            u_max=(1.0, 1.0, 1.0, 0.5),
+        )
+    )
+    cruise = 15.0
+    target = jnp.asarray([250.0, 60.0, 110.0])
+    step, init = fw_solver.make_fixed_wing_solver(params)
+
+    plant0 = fw.init_state(pos=(0.0, 0.0, 100.0), vel=(cruise, 0.0, 0.0))
+    sol0 = init(jax.random.PRNGKey(args.seed))
+
+    def tick(carry, _):
+        plant, sol = carry
+        obs = fw_solver.FwObs(
+            state=plant, target=target, cruise_speed=jnp.asarray(cruise)
+        )
+        out, sol = step(sol, obs)
+
+        def sub(s, _):
+            return fw.step(params.aero, params.veh, s, out.controls, 0.01), None
+
+        plant, _ = jax.lax.scan(sub, plant, None, length=5)
+        return (plant, sol), (plant.pos, jnp.linalg.norm(plant.vel))
+
+    @jax.jit
+    def episode():
+        (plant, _), (pos, speed) = jax.lax.scan(
+            tick, (plant0, sol0), None, length=args.steps
+        )
+        return plant, pos, speed
+
+    plant_f, pos, speed = episode()
+    pos = np.asarray(pos)
+    dist = np.linalg.norm(pos - np.asarray(target), axis=-1)
+    _finish(
+        "fixed-wing",
+        {
+            "closest_approach_m": round(float(dist.min()), 2),
+            "reached": bool(dist.min() < 20.0),
+            "min_altitude_m": round(float(pos[:, 2].min()), 2),
+            "mean_speed_ms": round(float(np.asarray(speed).mean()), 2),
+            "steps": args.steps,
+        },
+        {"pos": pos, "speed": np.asarray(speed)},
+        args,
+    )
+
+
 SCENARIOS = {
+    "fixed-wing": run_fixed_wing,
     "bench-scaling": run_bench_scaling,
     "whole-body-batch": run_whole_body_batch,
     "disturbance": run_disturbance,
@@ -975,6 +1051,8 @@ def main(argv=None):
                    help="figure-eight lap period [s]")
     p.add_argument("--scenarios", type=int, default=32,
                    help="whole-body-batch: batched episode count")
+    p.add_argument("--k", type=int, default=0,
+                   help="fixed-wing: sample count override (0 = preset)")
     args = p.parse_args(argv)
     if args.platform == "cpu" and args.scenario != "bench-scaling":
         import jax

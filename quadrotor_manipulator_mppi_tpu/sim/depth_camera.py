@@ -1,0 +1,188 @@
+"""Depth camera: pinhole rendering against the analytic scene + the RotorS
+noisy-depth sensor models.
+
+The reference's ``gazebo_noisydepth_plugin`` wraps Gazebo's depth camera and
+corrupts the rendered depth image with one of three empirical noise models
+(``depth_noise_model.cpp``): Kinect (Nguyen/Izadi/Lovell axial model), PMD
+(1 % of depth) and RealSense D435 (subpixel-disparity RMS from the Intel
+whitepaper).  Here the renderer is a vectorized pinhole ray cast against the
+same analytic primitives the lidar and the solver obstacle costs use (ground
+plane + spheres) — one ``jnp`` expression over the whole image, no per-pixel
+loop — and the noise models are exact functional ports applied to the
+(H, W) depth map, including the reference's quirks:
+
+* the Kinect/PMD models scale a unit normal by the *variance* expression
+  (``depth_noise_model.cpp:66-69``: ``var_noise`` multiplies ``dist(gen)``
+  directly), and
+* the D435 model squares the whitepaper RMS once more before use
+  (``depth_noise_model.cpp:40-47``).
+
+Both quirks are reproduced (bit-parity with the reference is worth more
+than a second opinion on the physics) and flagged here for anyone
+re-tuning.  Out-of-range pixels become NaN (``bad_point``), as upstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class DepthCameraParams:
+    """Pinhole geometry.  Optical frame convention: +z along the optical
+    axis, +x right, +y down (the ROS ``camera_optical_frame``); the
+    ``rot`` passed to :func:`depth_render` maps optical -> world."""
+
+    width: int = 64
+    height: int = 48
+    h_fov: float = float(np.pi / 2)   # horizontal FOV [rad] (D435 default)
+    min_depth: float = 0.2            # [m] DepthNoiseModel defaults
+    max_depth: float = 1000.0
+
+    @property
+    def focal(self) -> float:
+        return 0.5 * self.width / float(np.tan(0.5 * self.h_fov))
+
+
+def depth_render(
+    params: DepthCameraParams,
+    pos: Array,                       # (3,) camera position, world
+    rot: Array,                       # (3, 3) optical -> world
+    ground_z: float = 0.0,
+    sphere_centers: Optional[Array] = None,   # (N, 3)
+    sphere_radii: Optional[Array] = None,     # (N,)
+    background: Optional[float] = None,
+) -> Array:
+    """(H, W) z-depth image of the analytic scene.
+
+    Returns z-depth (distance along the optical axis, like Gazebo's depth
+    camera), not ray length.  Pixels that hit nothing get ``background``
+    (default: +inf, which the noise models then turn into NaN bad points).
+    """
+    dtype = pos.dtype
+    f = params.focal
+    u = jnp.arange(params.width, dtype=dtype) - 0.5 * (params.width - 1)
+    v = jnp.arange(params.height, dtype=dtype) - 0.5 * (params.height - 1)
+    uu, vv = jnp.meshgrid(u, v)                       # (H, W)
+    dirs_c = jnp.stack([uu / f, vv / f, jnp.ones_like(uu)], axis=-1)
+    dirs_c = dirs_c / jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
+    dirs_w = jnp.einsum("ij,hwj->hwi", rot, dirs_c)   # (H, W, 3)
+    cos_axis = dirs_c[..., 2]                         # ray-to-axis cosine
+
+    big = jnp.asarray(np.inf if background is None else background, dtype)
+    t_best = jnp.full((params.height, params.width), jnp.inf, dtype)
+
+    dz = dirs_w[..., 2]
+    t_ground = (ground_z - pos[2]) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+    t_best = jnp.minimum(t_best, jnp.where(t_ground > 0.0, t_ground, jnp.inf))
+
+    if sphere_centers is not None and sphere_radii is not None:
+        oc = pos[None, None, None, :] - sphere_centers[None, None, :, :]
+        d = dirs_w[:, :, None, :]
+        b = jnp.sum(d * oc, axis=-1)                  # (H, W, N)
+        c = jnp.sum(oc * oc, axis=-1) - sphere_radii[None, None, :] ** 2
+        disc = b * b - c
+        t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        valid = (disc > 0.0) & (t_hit > 0.0)
+        t_sph = jnp.where(valid, t_hit, jnp.inf)
+        t_best = jnp.minimum(t_best, jnp.min(t_sph, axis=-1))
+
+    depth = t_best * cos_axis
+    return jnp.where(jnp.isfinite(depth), depth, big)
+
+
+def _in_range(params: DepthCameraParams, depth: Array) -> Array:
+    return (depth > params.min_depth) & (depth < params.max_depth)
+
+
+def kinect_depth_noise(
+    params: DepthCameraParams, key: Array, depth: Array
+) -> Array:
+    """Kinect axial noise (depth_noise_model.cpp:52-73): the 10-60 deg
+    Nguyen et al. model sigma_z(z) = 0.0012 + 0.0019 (z - 0.4)^2.  NOTE:
+    the reference multiplies the unit normal by this expression directly
+    (it names it ``var_noise`` but uses it as a standard deviation); we
+    match that behavior."""
+    scale = 0.0012 + 0.0019 * (depth - 0.4) ** 2
+    noisy = depth + scale * jax.random.normal(key, depth.shape, depth.dtype)
+    return jnp.where(_in_range(params, depth), noisy, jnp.nan)
+
+
+def pmd_depth_noise(
+    params: DepthCameraParams, key: Array, depth: Array
+) -> Array:
+    """PMD time-of-flight: 1 % of depth (depth_noise_model.cpp:78-96)."""
+    scale = 0.01 * depth
+    noisy = depth + scale * jax.random.normal(key, depth.shape, depth.dtype)
+    return jnp.where(_in_range(params, depth), noisy, jnp.nan)
+
+
+def d435_depth_noise(
+    params: DepthCameraParams,
+    key: Array,
+    depth: Array,
+    baseline: float = 0.05,
+    subpixel_err: float = 0.1,
+    max_stdev: float = 3.0,
+) -> Array:
+    """RealSense D435 subpixel-disparity model (depth_noise_model.cpp:26-50):
+    RMS = (z[mm])^2 * subpixel / (f * baseline * 1e6); the reference then
+    squares the RMS once more before scaling the unit normal and clips the
+    result at ``max_stdev`` — reproduced verbatim."""
+    f = 0.5 * params.width / float(np.tan(0.5 * params.h_fov))
+    multiplier = subpixel_err / (f * baseline * 1e6)
+    rms = (depth * 1000.0) ** 2 * multiplier
+    scale = jnp.minimum(rms * rms, max_stdev)
+    noisy = depth + scale * jax.random.normal(key, depth.shape, depth.dtype)
+    return jnp.where(_in_range(params, depth), noisy, jnp.nan)
+
+
+NOISE_MODELS = {
+    "kinect": kinect_depth_noise,
+    "pmd": pmd_depth_noise,
+    "d435": d435_depth_noise,
+}
+
+
+def noisy_depth(
+    params: DepthCameraParams,
+    key: Array,
+    depth: Array,
+    model: str = "kinect",
+    **kwargs,
+) -> Array:
+    """Apply the named noise model (gazebo_noisydepth_plugin.cpp:84-101's
+    model selection, 'Kinect' default)."""
+    return NOISE_MODELS[model.lower()](params, key, depth, **kwargs)
+
+
+def depth_to_points(
+    params: DepthCameraParams,
+    depth: Array,                     # (H, W) z-depth, NaN = bad
+    pos: Array,
+    rot: Array,                       # (3, 3) optical -> world
+) -> tuple[Array, Array]:
+    """Back-project a depth image to world points.
+
+    Returns ``(points (H*W, 3), valid (H*W,))`` — invalid (NaN / clipped)
+    pixels get their position zeroed and ``valid=False``; downstream
+    consumers (e.g. occupancy mapping) weight by ``valid`` so the shapes
+    stay static under jit.
+    """
+    dtype = depth.dtype
+    f = params.focal
+    u = jnp.arange(params.width, dtype=dtype) - 0.5 * (params.width - 1)
+    v = jnp.arange(params.height, dtype=dtype) - 0.5 * (params.height - 1)
+    uu, vv = jnp.meshgrid(u, v)
+    valid = jnp.isfinite(depth) & (depth > params.min_depth)
+    z = jnp.where(valid, depth, 0.0)
+    pts_c = jnp.stack([uu / f * z, vv / f * z, z], axis=-1)
+    pts_w = pos[None, None, :] + jnp.einsum("ij,hwj->hwi", rot, pts_c)
+    return pts_w.reshape(-1, 3), valid.reshape(-1)

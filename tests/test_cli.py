@@ -81,3 +81,15 @@ def test_figure_eight_aggressive_tracking(capsys):
     assert r["passed"] is True
     assert r["track_rms_m"] < 0.15
     assert r["max_tilt_rad"] < 0.6
+
+
+def test_fixed_wing_waypoint_flyby(capsys):
+    """Fixed-wing capability (gazebo_fw_dynamics_plugin physics + MPPI on
+    top): the Techpod must fly by the waypoint without losing altitude or
+    stalling.  Reduced K for CPU CI; run.py defaults use K=1024."""
+    r = run_cli(capsys, ["fixed-wing", "--steps", "400", "--k", "192"])
+    assert r["scenario"] == "fixed-wing"
+    assert r["reached"] is True
+    assert r["closest_approach_m"] < 20.0
+    assert r["min_altitude_m"] > 80.0
+    assert 10.0 < r["mean_speed_ms"] < 25.0
