@@ -132,7 +132,13 @@ def episode_amortized(details: dict) -> dict:
     params = wb.position_mode_params(n_samples=K, n_horizon=H)
     backend = "xla" if os.environ.get("QMM_BENCH_XLA") else "pallas"
     run = wbl.make_whole_body_episode(
-        params, n_control_steps=n_steps, backend=backend
+        params, n_control_steps=n_steps, backend=backend,
+        # Serving shape: factor the arm mass matrix once per control step
+        # (parity-tested vs the per-substep path in test_whole_body_loop)
+        # and unroll the 1 kHz substep scan so XLA fuses across substeps.
+        cfg=wbl.WholeBodyLoopConfig(
+            mass_matrix_per_control=True, substep_unroll=10
+        ),
     )
     _, init = wb.make_whole_body_solver(params, backend=backend)
     plant = wbl.init_plant(params.model.vehicle)

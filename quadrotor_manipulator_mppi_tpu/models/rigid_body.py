@@ -226,9 +226,29 @@ def forward_dynamics(
     Solved with a Cholesky factorization of the (symmetric PD) mass matrix.
     """
     m = mass_matrix(spec, params, q)
+    return forward_dynamics_chol(
+        spec, params, q, qd, tau, jnp.linalg.cholesky(m), base_rot=base_rot
+    )
+
+
+def forward_dynamics_chol(
+    spec: ChainSpec,
+    params: InertialParams,
+    q: Array,
+    qd: Array,
+    tau: Array,
+    chol: Array,
+    base_rot: Optional[Array] = None,
+) -> Array:
+    """Forward dynamics with a caller-supplied Cholesky factor of M.
+
+    The mass matrix costs J extra RNEA passes; callers integrating at a
+    fine substep can factor M once per control period (M(q) drifts
+    O(|qdot| dt) ~ 1e-3 relative over 10 ms) and amortize it — see
+    ``sim/whole_body_loop.WholeBodyLoopConfig.mass_matrix_per_control``.
+    """
     nle = nonlinear_effects(spec, params, q, qd, base_rot=base_rot)
     rhs = (tau - nle)[..., None]
-    chol = jnp.linalg.cholesky(m)
     y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
     qdd = jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(chol, -1, -2), y, lower=False

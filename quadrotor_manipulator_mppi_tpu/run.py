@@ -1009,8 +1009,132 @@ def run_fixed_wing(args):
     )
 
 
+def run_mapped_flight(args):
+    """Online mapping on the control path: fly to a waypoint through
+    obstacles the solver does NOT know a priori.  A horizontal lidar senses
+    the scene each control step, rays update the occupancy grid
+    (``sim/occupancy``, the octomap analog), the grid exports its top-N
+    occupied voxels as sphere obstacles, and the map-aware MPPI preset
+    (``solver/mapped``) consumes them as part of the observation — the
+    entire sense -> map -> export -> solve -> actuate loop is ONE jitted
+    ``lax.scan``.  The reference's octomap builds maps offline; nothing
+    upstream closes this loop.
+
+    Metrics: closest approach to the goal, minimum clearance to the true
+    (hidden) obstacles — a collision-free run keeps it positive — and how
+    much of the scene the map discovered.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc
+    from .sim import occupancy as occ, sensors
+    from .solver import mapped as mapped_solver
+    from .utils import rotations as rotu
+    import dataclasses
+
+    veh = mr.MultirotorParams()
+    start = jnp.asarray([0.0, 0.0, 1.8])
+    target = jnp.asarray([9.0, 0.0, 1.8])
+    # True scene (hidden from the solver): two spheres astride the line.
+    true_c = jnp.asarray([[3.5, 0.35, 1.8], [6.5, -0.5, 1.8]])
+    true_r = jnp.asarray([1.0, 1.0])
+
+    lp = sensors.LidarParams(n_beams=48, max_range=12.0, noise=0.01)
+    op = occ.OccupancyParams(
+        origin=(-1.0, -4.0, 0.8), resolution=0.25, shape=(48, 32, 8),
+        n_free_samples=24, max_range=10.0,
+    )
+    base = mapped_solver.MappedMPPIParams(altitude_weight=8.0)
+    params = dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=args.k or 1024)
+    )
+    step, init = mapped_solver.make_mapped_solver(params)
+    margin = 0.65  # voxel half-diagonal is 0.217; + vehicle radius
+
+    dirs_b = sensors.lidar_directions(lp)
+    sol0 = init(jax.random.PRNGKey(args.seed))
+    grid0 = occ.init_grid(op)
+    plant0 = mr.init_state(veh, pos=tuple(float(x) for x in start))
+    plant0 = plant0._replace(
+        rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
+    )
+    ctrl0 = fc.init_ctrl_state(veh.mass)
+    gains = fc.FlightGains()
+
+    def control_step(carry, key):
+        plant, ctrl, sol, grid = carry
+        rotm = rotu.quat_to_matrix(plant.quat)
+        ranges = sensors.lidar_measure(
+            lp, key, plant.pos, rotm, ground_z=-50.0,
+            sphere_centers=true_c, sphere_radii=true_r,
+        )
+        dirs_w = jnp.einsum("ij,bj->bi", rotm, dirs_b)
+        endpoints = plant.pos[None, :] + dirs_w * ranges[:, None]
+        grid = occ.insert_rays(
+            op, grid, plant.pos, endpoints,
+            jnp.ones((lp.n_beams,), bool),
+        )
+        centers, radii = occ.occupied_centers(op, grid, max_n=64)
+        radii_eff = jnp.where(radii > 0.0, radii + margin, 0.0)
+
+        obs = mapped_solver.MappedObs(
+            x=plant.pos, v=plant.vel, target=target,
+            obst_centers=centers, obst_radii=radii_eff,
+        )
+        out, sol = step(sol, obs)
+        # Position-only carrot (the drone_pose contract, drone.py:239-241):
+        # feeding the plan's own velocity forward removes the inner loop's
+        # damping and runs away.
+        sp = fc.hover_setpoint(out.xdes)
+
+        def tick(c, _):
+            p, ct = c
+            u, ct = fc.backstepping_step(
+                gains, veh, ct, sp, pos=p.pos, vel_world=p.vel,
+                rpy=cl.rpy_of(p), omega_body=p.omega, dt=0.001,
+            )
+            p = mr.step(veh, p, fc.allocate(veh, u), 0.001)
+            return (p, ct), None
+
+        (plant, ctrl), _ = jax.lax.scan(tick, (plant, ctrl), None, length=10)
+        clearance = jnp.min(
+            jnp.linalg.norm(plant.pos - true_c, axis=-1) - true_r
+        )
+        return (plant, ctrl, sol, grid), (plant.pos, clearance)
+
+    @jax.jit
+    def episode():
+        keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.steps)
+        (plant, _, _, grid), (pos, clr) = jax.lax.scan(
+            control_step, (plant0, ctrl0, sol0, grid0), keys
+        )
+        return plant, grid, pos, clr
+
+    plant_f, grid_f, pos, clr = episode()
+    pos = np.asarray(pos)
+    dist = np.linalg.norm(pos - np.asarray(target), axis=-1)
+    occ_voxels = int((np.asarray(grid_f.log_odds) > 0.0).sum())
+    _finish(
+        "mapped-flight",
+        {
+            "final_dist_m": round(float(dist[-1]), 3),
+            "min_dist_m": round(float(dist.min()), 3),
+            "reached": bool(dist[-1] < 0.5),
+            "min_clearance_m": round(float(np.asarray(clr).min()), 3),
+            "collided": bool(np.asarray(clr).min() <= 0.0),
+            "mapped_occupied_voxels": occ_voxels,
+            "steps": args.steps,
+        },
+        {"pos": pos, "clearance": np.asarray(clr)},
+        args,
+    )
+
+
 SCENARIOS = {
     "fixed-wing": run_fixed_wing,
+    "mapped-flight": run_mapped_flight,
     "bench-scaling": run_bench_scaling,
     "whole-body-batch": run_whole_body_batch,
     "disturbance": run_disturbance,

@@ -241,6 +241,17 @@ class LidarParams:
     pitch: float = 0.0            # beam elevation from body xy-plane [rad]
 
 
+def lidar_directions(params: LidarParams, dtype=jnp.float32) -> Array:
+    """(n_beams, 3) unit beam directions in the BODY frame — exposed so
+    consumers (e.g. occupancy mapping) can turn ranges into endpoints:
+    ``endpoint = pos + (rot @ dir) * range``."""
+    az = jnp.linspace(0.0, params.fov, params.n_beams, endpoint=False).astype(dtype)
+    cp, sp = np.cos(params.pitch), np.sin(params.pitch)
+    return jnp.stack(
+        [cp * jnp.cos(az), cp * jnp.sin(az), jnp.full_like(az, sp)], axis=-1
+    )
+
+
 def lidar_measure(
     params: LidarParams,
     key: Array,
@@ -252,11 +263,7 @@ def lidar_measure(
 ) -> Array:
     """(n_beams,) ranges — min over scene primitives, noisy, clamped."""
     dtype = pos.dtype
-    az = jnp.linspace(0.0, params.fov, params.n_beams, endpoint=False).astype(dtype)
-    cp, sp = np.cos(params.pitch), np.sin(params.pitch)
-    dirs_b = jnp.stack(
-        [cp * jnp.cos(az), cp * jnp.sin(az), jnp.full_like(az, sp)], axis=-1
-    )
+    dirs_b = lidar_directions(params, dtype)
     dirs_w = jnp.einsum("ij,bj->bi", rot, dirs_b)               # (B, 3)
 
     rng = jnp.full((params.n_beams,), params.max_range, dtype)

@@ -96,6 +96,18 @@ class WholeBodyLoopConfig:
     # physical payload via payload_mass — without the override the mass
     # would be double-counted).
     plant_arm_lump: Optional[float] = None
+    # Factor the arm mass matrix once per CONTROL step (10 ms) instead of
+    # every 1 kHz physics substep.  M(q) drifts O(|qdot| dt_control) ~ 1e-3
+    # relative within one control period, while computing it costs J extra
+    # RNEA passes per substep — the dominant cost of the jitted episode.
+    # Off by default (bit-identical legacy physics); the episode benchmark
+    # turns it on.
+    mass_matrix_per_control: bool = False
+    # lax.scan unroll factor for the 1 kHz substep loop.  The substep body
+    # is hundreds of tiny (3,3)-sized ops (unrolled RNEA); unrolling lets
+    # XLA fuse across substeps and hide per-op latency.  Trades compile
+    # time for steady-state speed; numerics unchanged.
+    substep_unroll: int = 1
 
 
 class WholeBodyPlant(NamedTuple):
@@ -212,16 +224,23 @@ def make_whole_body_episode(
     )
 
     def physics_tick(carry, _):
-        plant, action_cmd, tau_arm_pd, ext_wrench_b = carry
+        plant, action_cmd, tau_arm_pd, ext_wrench_b, m_chol = carry
         base_rot = rot.quat_to_matrix(plant.base.quat)
 
         # Arm dynamics under the tilted-gravity field, with hard joint
         # stops: q clamps at the URDF limits and the velocity component
         # driving into a stop zeroes (inelastic stop — matches how Gazebo's
         # joint limits catch the reference arm).
-        qdd = rb.forward_dynamics(
-            spec, inertials, plant.q, plant.qdot, tau_arm_pd, base_rot=base_rot
-        )
+        if cfg.mass_matrix_per_control:
+            qdd = rb.forward_dynamics_chol(
+                spec, inertials, plant.q, plant.qdot, tau_arm_pd, m_chol,
+                base_rot=base_rot,
+            )
+        else:
+            qdd = rb.forward_dynamics(
+                spec, inertials, plant.q, plant.qdot, tau_arm_pd,
+                base_rot=base_rot,
+            )
         qdot = plant.qdot + qdd * cfg.physics_dt
         q_raw = plant.q + qdot * cfg.physics_dt
         q_lo = jnp.asarray(spec.lower, q_raw.dtype)
@@ -275,7 +294,7 @@ def make_whole_body_episode(
             ),
         )
         nxt = WholeBodyPlant(base=base, q=q, qdot=qdot, ctrl=ctrl)
-        return (nxt, action_cmd, tau_arm_pd, ext_wrench_b), None
+        return (nxt, action_cmd, tau_arm_pd, ext_wrench_b, m_chol), None
 
     tube_radius = (
         cfg.tube_radius if cfg.tube_radius is not None
@@ -405,9 +424,17 @@ def make_whole_body_episode(
             )(plant.q)
             tau_arm = jnp.clip(tau_arm + j_ee.T @ reaction_w, -effort, effort)
 
-        (plant, _, _, _), _ = jax.lax.scan(
-            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b), None,
-            length=cfg.substeps,
+        if cfg.mass_matrix_per_control:
+            m_chol = jnp.linalg.cholesky(
+                rb.mass_matrix(spec, inertials, plant.q)
+            )
+        else:  # unused dummy; the tick traces the per-substep M path
+            m_chol = jnp.zeros(
+                (spec.n_joints, spec.n_joints), plant.q.dtype
+            )
+        (plant, _, _, _, _), _ = jax.lax.scan(
+            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b, m_chol),
+            None, length=cfg.substeps, unroll=cfg.substep_unroll,
         )
 
         # Logs: EE world position error, base state.

@@ -93,3 +93,15 @@ def test_fixed_wing_waypoint_flyby(capsys):
     assert r["closest_approach_m"] < 20.0
     assert r["min_altitude_m"] > 80.0
     assert 10.0 < r["mean_speed_ms"] < 25.0
+
+
+def test_mapped_flight_collision_free(capsys):
+    """Online mapping on the control path (octomap-analog end-to-end): the
+    vehicle must reach the waypoint through obstacles it discovers via
+    lidar + occupancy grid, without ever touching the true geometry."""
+    r = run_cli(capsys, ["mapped-flight", "--steps", "3000", "--k", "512"])
+    assert r["reached"] is True
+    assert r["final_dist_m"] < 0.6
+    assert r["collided"] is False
+    assert r["min_clearance_m"] > 0.1
+    assert r["mapped_occupied_voxels"] > 20

@@ -206,3 +206,75 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(grid2.log_odds), np.asarray(grid.log_odds)
     )
+
+
+def test_mapped_solver_avoids_dynamic_obstacles():
+    """solver/mapped: obstacles arriving via the OBSERVATION (not trace-time
+    constants) must bend the plan.  Same solver state, same key: with a
+    blocking sphere the emitted plan's closest approach to the obstacle
+    is larger than without."""
+    import dataclasses
+
+    import jax
+    from quadrotor_manipulator_mppi_tpu.ops import integrators
+    from quadrotor_manipulator_mppi_tpu.solver import mapped as ms
+
+    base = ms.MappedMPPIParams()
+    params = dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=512)
+    )
+    step, init = ms.make_mapped_solver(params)
+    x = jnp.zeros(3).at[2].set(2.0)
+    target = jnp.asarray([6.0, 0.0, 2.0])
+    center = jnp.asarray([[3.0, 0.0, 2.0]])
+
+    def plan_clearance(radii):
+        sol = init(jax.random.PRNGKey(0))
+        obs = ms.MappedObs(
+            x=x, v=jnp.zeros(3), target=target,
+            obst_centers=center, obst_radii=radii,
+        )
+        # a few warm-up solves so the plan converges
+        for _ in range(15):
+            out, sol = step(sol, obs)
+        traj, _ = integrators.double_integrate(
+            out.u_seq[None], x, jnp.zeros(3), params.mppi.dt
+        )
+        d = jnp.linalg.norm(traj[0] - center[0], axis=-1)
+        return float(d.min())
+
+    free = plan_clearance(jnp.asarray([0.0]))
+    blocked = plan_clearance(jnp.asarray([1.2]))
+    assert blocked > free
+    assert blocked > 1.0  # stays out of the inflated sphere
+
+
+def test_mapped_solver_inert_slots_do_not_repel():
+    """Radius-0 export slots must not influence the plan even though their
+    centers are arbitrary voxels (the margin is folded into live radii by
+    the caller, never into inert ones)."""
+    import dataclasses
+
+    import jax
+    from quadrotor_manipulator_mppi_tpu.solver import mapped as ms
+
+    base = ms.MappedMPPIParams()
+    params = dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=256)
+    )
+    step, init = ms.make_mapped_solver(params)
+    x = jnp.zeros(3).at[2].set(2.0)
+    target = jnp.asarray([4.0, 0.0, 2.0])
+
+    def u_with(centers, radii):
+        sol = init(jax.random.PRNGKey(1))
+        obs = ms.MappedObs(x=x, v=jnp.zeros(3), target=target,
+                           obst_centers=centers, obst_radii=radii)
+        out, _ = step(sol, obs)
+        return np.asarray(out.u_seq)
+
+    # slots parked ON the straight-line path with radius 0
+    on_path = jnp.asarray([[2.0, 0.0, 2.0], [1.0, 0.0, 2.0]])
+    u_inert = u_with(on_path, jnp.zeros(2))
+    u_empty = u_with(jnp.zeros((2, 3)), jnp.zeros(2))
+    np.testing.assert_allclose(u_inert, u_empty, atol=1e-6)

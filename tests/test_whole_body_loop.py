@@ -199,3 +199,40 @@ def test_attitude_low_k_divergence_characterization():
         f"low-K attitude run unexpectedly reached the gate: "
         f"tail min {e[-50:].min():.4f} m — the divergence floor moved"
     )
+
+
+def test_mass_matrix_per_control_parity():
+    """The hoisted-M physics option (factor M once per 10 ms control step,
+    the episode-benchmark serving shape) must track the per-substep-M
+    trajectory closely — M(q) drifts ~1e-3 relative within one control
+    period, so the episodes should agree to millimeters."""
+    import jax
+
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+
+    params = wbs.position_mode_params(n_samples=128, n_horizon=20)
+    common = dict(params=params, n_control_steps=40)
+    run_ref = wbl.make_whole_body_episode(
+        cfg=wbl.WholeBodyLoopConfig(), **common
+    )
+    run_fast = wbl.make_whole_body_episode(
+        cfg=wbl.WholeBodyLoopConfig(mass_matrix_per_control=True), **common
+    )
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    solver = init(jax.random.key(0))
+    obs = wbs.default_obs()
+
+    pf_ref, log_ref = jax.jit(run_ref)(
+        plant, solver, obs.ee_target, obs.base_target
+    )
+    pf_fast, log_fast = jax.jit(run_fast)(
+        plant, solver, obs.ee_target, obs.base_target
+    )
+    err = np.max(np.abs(np.asarray(log_ref.ee_err) - np.asarray(log_fast.ee_err)))
+    assert err < 5e-3, err
+    base_dev = np.max(
+        np.abs(np.asarray(pf_ref[0].base.pos) - np.asarray(pf_fast[0].base.pos))
+    )
+    assert base_dev < 5e-3, base_dev
