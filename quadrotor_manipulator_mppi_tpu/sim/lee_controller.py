@@ -42,15 +42,25 @@ class LeeGains:
     (``rotors_gazebo/resource/lee_controller_firefly.yaml``: 6/4.7/3/0.52)
     rescaled to the HarrierD7's mass (x14.7/1.57) and inertia
     (x diag(1.57, 3.93, 2.59)/firefly) — the controller normalizes gains by
-    mass/inertia internally, so tuning transfers by scaling (yaw raised further — the scaled firefly
-    yaw authority is sluggish on the octorotor).  Settles a
+    mass/inertia internally, so tuning transfers by scaling.  Settles a
     1 m step in ~2 s with ~zero overshoot on the in-framework plant.
+
+    Yaw: the naive firefly scaling gives an underdamped ~1 rad/s yaw loop
+    (zeta ~ 0.36, ~10 s ringdown) whose residual oscillation couples into
+    the tilt axes and can destabilize a position step commanded mid-swing;
+    the z gains here place the yaw loop at omega_n ~ 3 rad/s, critically
+    damped (45 deg step settles in ~2 s with a ~0.4 m transient position
+    coupling that decays immediately).  NOTE the controller family's
+    envelope on this plant: position steps commanding > ~40 deg of tilt
+    (e.g. a 2.8 m diagonal step) saturate rotors through the asymmetric
+    lag and diverge at any gain setting — shape the reference instead
+    (clamped carrot + yaw slew, as `run.py waypoint-file` does).
     """
 
     position: tuple = (56.3, 56.3, 56.3)
     velocity: tuple = (44.1, 44.1, 44.1)
-    attitude: tuple = (135.5, 257.0, 3.0)
-    angular_rate: tuple = (23.5, 44.5, 2.0)
+    attitude: tuple = (135.5, 257.0, 23.0)
+    angular_rate: tuple = (23.5, 44.5, 15.5)
 
 
 class LeeSetpoint:

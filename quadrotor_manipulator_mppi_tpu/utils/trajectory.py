@@ -49,3 +49,29 @@ def se3_trajectory(t: Array, t_start, duration, init: Pose, target: Pose) -> Pos
     w1 = rot.quat_to_axis_angle(target.quat)
     w = w0 + alpha[..., None] * (w1 - w0)
     return Pose(position=pos, quat=rot.quat_from_axis_angle(w))
+
+
+def read_waypoint_file(path: str):
+    """Parse a RotorS waypoint file: one `wait_time x y z yaw_deg` line per
+    waypoint, whitespace separated (the format of
+    ``rotors_gazebo/src/waypoint_publisher_file.cpp:48-66`` /
+    ``resource/example_waypoints.txt``).  Returns numpy arrays
+    ``(wait_times [s], positions (N, 3) [m], yaws (N,) [rad])``; incomplete
+    trailing lines are dropped, as upstream ("Only read complete
+    waypoints").
+    """
+    import numpy as _np
+
+    waits, positions, yaws = [], [], []
+    with open(path) as f:
+        tokens = f.read().split()
+    for i in range(0, len(tokens) - len(tokens) % 5, 5):
+        t, x, y, z, yaw_deg = (float(v) for v in tokens[i:i + 5])
+        waits.append(t)
+        positions.append((x, y, z))
+        yaws.append(_np.deg2rad(yaw_deg))
+    return (
+        _np.asarray(waits, _np.float64),
+        _np.asarray(positions, _np.float64),
+        _np.asarray(yaws, _np.float64),
+    )

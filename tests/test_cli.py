@@ -105,3 +105,27 @@ def test_mapped_flight_collision_free(capsys):
     assert r["collided"] is False
     assert r["min_clearance_m"] > 0.1
     assert r["mapped_occupied_voxels"] > 20
+
+
+def test_waypoint_file_mission(capsys, tmp_path):
+    """waypoint_publisher_file parity: fly a RotorS-format waypoint file
+    (wait_time x y z yaw_deg) with the Lee controller; every waypoint must
+    be held within the hover-eval 0.2 m gate at its window end — including
+    diagonal steps and yaw changes (the shaped-reference envelope)."""
+    wp = tmp_path / "wps.txt"
+    wp.write_text(
+        "3.0 0.0 0.0 2.0 0.0\n"
+        "4.0 1.5 1.5 2.5 60.0\n"
+        "4.0 0.0 1.5 2.0 0.0\n"
+    )
+    r = run_cli(capsys, ["waypoint-file", "--file", str(wp)])
+    assert r["n_waypoints"] == 3
+    assert r["passed"] is True
+    assert r["max_end_err_m"] < 0.2
+
+
+def test_waypoint_file_default_resource(capsys):
+    """The in-package example mission flies clean end to end."""
+    r = run_cli(capsys, ["waypoint-file"])
+    assert r["n_waypoints"] == 5
+    assert r["passed"] is True

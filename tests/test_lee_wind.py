@@ -101,3 +101,58 @@ def test_ou_turbulence_statistics():
         vals.append(np.asarray(v))
     vals = np.stack(vals)[500:]
     assert abs(vals.std() - 0.5) < 0.12
+
+
+def test_waypoint_file_parser(tmp_path):
+    """RotorS waypoint-file format (waypoint_publisher_file.cpp:48-66):
+    whitespace tokens in groups of 5, yaw in degrees, incomplete trailing
+    groups dropped."""
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.utils.trajectory import (
+        read_waypoint_file,
+    )
+
+    f = tmp_path / "wp.txt"
+    f.write_text("2.5 1 2 3 90\n1.0 -1 0 2.0 -45\n3.0 0 0\n")
+    waits, pos, yaws = read_waypoint_file(str(f))
+    assert len(waits) == 2  # incomplete third line dropped
+    np.testing.assert_allclose(waits, [2.5, 1.0])
+    np.testing.assert_allclose(pos[0], [1, 2, 3])
+    np.testing.assert_allclose(yaws, [np.pi / 2, -np.pi / 4])
+
+
+def test_lee_yaw_step_damped():
+    """Regression for the retuned yaw loop: a 45 deg yaw step settles
+    within ~3 s without destabilizing position (the firefly-scaled gains
+    rang for ~10 s at zeta ~ 0.36)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.models import multirotor as mr, vehicles
+    from quadrotor_manipulator_mppi_tpu.sim import flight_control as fc
+    from quadrotor_manipulator_mppi_tpu.sim import lee_controller as lee
+    from quadrotor_manipulator_mppi_tpu.utils import rotations as rot
+
+    veh = vehicles.get("harrier")
+    gains = vehicles.lee_gains("harrier")
+    plant = mr.init_state(veh, pos=(0, 0, 2.0))
+    plant = plant._replace(
+        rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
+    )
+    sp = lee.LeeSetpoint([0.0, 0.0, 2.0], yaw=np.pi / 4)
+
+    @jax.jit
+    def run(p):
+        def tick(p, _):
+            u = lee.lee_control(gains, veh, sp, pos=p.pos, vel_world=p.vel,
+                                quat=p.quat, omega_body=p.omega)
+            return mr.step(veh, p, fc.allocate(veh, u), 0.001), None
+        return jax.lax.scan(tick, p, None, length=3000)[0]
+
+    pf = run(plant)
+    ang = rot.matrix_to_euler(rot.quat_to_matrix(pf.quat), "ZYX")
+    assert abs(float(ang[0]) - np.pi / 4) < 0.06
+    assert float(jnp.linalg.norm(pf.pos - jnp.asarray([0, 0, 2.0]))) < 0.5
+    assert float(jnp.abs(pf.omega[2])) < 0.1
