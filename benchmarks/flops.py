@@ -54,8 +54,13 @@ def _mode_matmuls(mode: str, rotor_lag: bool, drag: bool) -> int:
     """Number of (H, H) @ (H, K) matmuls in pass 1 of the fused kernel.
 
     Mirrors ``whole_body_kernel._rollout_cost``: 7 arm double-integrations
-    always; then per mode the base-trajectory operators.
+    always; then per mode the base-trajectory operators.  ``drag`` is
+    intentionally unused: with drag_kd the velocity operator becomes the
+    decay matrix (dvmat) instead of the plain cumsum — SAME matmul count,
+    different constants — so the flag exists only to document that the
+    caller's drag configuration was considered, not forgotten.
     """
+    del drag
     n = N_JOINTS  # q_arm per joint
     if mode == "attitude":
         n += 1 if rotor_lag else 0      # thrust lag

@@ -261,6 +261,54 @@ def main(which):
             )
         log("sharded done", details["whole_body_sharded_pallas_1shard_K4096_H50"])
 
+    if "fixedwing" in which:
+        # Fixed-wing MPPI (round 3): H=40 sequential airframe rollouts
+        # (lax.scan over the polynomial aero model) x K samples.
+        from quadrotor_manipulator_mppi_tpu.models import fixed_wing as fwm
+        from quadrotor_manipulator_mppi_tpu.solver import fixed_wing as fws
+
+        fstep, finit = fws.make_fixed_wing_solver()
+        jfstep = jax.jit(fstep)
+        fstate = finit(jax.random.key(0))
+        fobs = fws.FwObs(
+            state=fwm.init_state(pos=(0.0, 0.0, 100.0), vel=(15.0, 0.0, 0.0)),
+            target=jnp.asarray([250.0, 60.0, 110.0]),
+            cruise_speed=jnp.asarray(15.0),
+        )
+        details["fixed_wing_K1024_H40"] = dict(
+            bench_fn(lambda: jfstep(fstate, fobs)[0].u_seq),
+            note="pipelined throughput (bench_fn overlaps dispatch); the "
+                 "solve is small enough that the axon tunnel fully pipelines",
+        )
+        log("fixedwing done", details["fixed_wing_K1024_H40"])
+
+    if "mapped" in which:
+        # Map-in-the-loop serving shape (round 3): one full control step of
+        # run.py mapped-flight — lidar raycast, occupancy-grid ray
+        # insertion, top-N obstacle export, map-aware MPPI solve, 10 x
+        # 1 kHz backstepping plant ticks — via the SAME factory the CLI
+        # scenario flies (sim/mapped_loop.make_mapped_control_step).
+        from quadrotor_manipulator_mppi_tpu.sim import mapped_loop
+        from quadrotor_manipulator_mppi_tpu.solver import mapped as ms
+
+        mcfg = mapped_loop.MappedFlightConfig()
+        mparams = ms.MappedMPPIParams(altitude_weight=8.0)
+        control_step = mapped_loop.make_mapped_control_step(mcfg, mparams)
+        _, minit = ms.make_mapped_solver(mparams)
+        plant, ctrl, grid = mapped_loop.init_mapped_flight(mcfg)
+        sol = minit(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        jcs = jax.jit(control_step)
+        out0 = jcs(plant, ctrl, sol, grid, key)
+        jax.block_until_ready(out0[0][0].pos)
+
+        details["mapped_flight_control_step_K1024"] = dict(
+            bench_fn(lambda: jcs(plant, ctrl, sol, grid, key)[0][0].pos),
+            note="lidar + occupancy insert + obstacle export + solve + "
+                 "10x1kHz plant, one jitted step",
+        )
+        log("mapped done", details["mapped_flight_control_step_K1024"])
+
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps({"updated": sorted(which)}))

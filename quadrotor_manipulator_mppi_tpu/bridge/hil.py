@@ -120,7 +120,9 @@ class HilSession:
             # specific force in body frame: R^T (a - g), NWU
             acc_w = (vel - prev_vel) / cfg.physics_dt
             f_spec = rmat.T @ (acc_w - np.array([0.0, 0.0, -mr.GRAVITY]))
-            mag_b = rmat.T @ np.array([0.21, 0.0, 0.42])  # NWU field
+            # Zurich-ish field: NED (0.21, 0, +0.42) gauss (dips DOWN in the
+            # northern hemisphere) -> NWU z is negative.
+            mag_b = rmat.T @ np.array([0.21, 0.0, -0.42])
             self._send(
                 "HIL_SENSOR",
                 mav.hil_sensor_values(

@@ -301,7 +301,12 @@ def hil_state_quaternion_values(
     true_airspeed: float = 0.0,
 ) -> Dict:
     """HIL_STATE_QUATERNION ground truth with the reference's integer
-    scalings (:560-585): lat/lon in degE7, alt mm, vel cm/s, acc mG."""
+    scalings (:560-585): lat/lon in degE7, alt mm, vel cm/s, acc mG.
+
+    Deviation: the reference forgets the cm/s scale on ``ind_airspeed``
+    (``gazebo_mavlink_interface.cpp:577`` assigns ``vel_b.X()`` raw while
+    scaling ``true_airspeed`` by 100 one line later); the MAVLink spec
+    says uint16 cm/s for both, so we scale both."""
     vel = np.asarray(vel_ned, np.float64)
     acc = np.asarray(accel_body_frd, np.float64)
     om = np.asarray(omega_body_frd, np.float64)
@@ -312,7 +317,7 @@ def hil_state_quaternion_values(
         lat=int(lat_deg * 1e7), lon=int(lon_deg * 1e7),
         alt=int(alt_m * 1000),
         vx=int(vel[0] * 100), vy=int(vel[1] * 100), vz=int(vel[2] * 100),
-        ind_airspeed=int(max(0.0, ind_airspeed)),
+        ind_airspeed=int(max(0.0, ind_airspeed * 100)),
         true_airspeed=int(max(0.0, true_airspeed * 100)),
         xacc=int(acc[0] * 1000), yacc=int(acc[1] * 1000),
         zacc=int(acc[2] * 1000),

@@ -308,7 +308,17 @@ def bag_to_npz(
     topic — mirroring ``rosbag_tools/helpers.py``'s topic defaults.
     Returns a summary dict (topic, type, rows, written keys).
     """
-    topics = list_topics(bag_path)
+    # Single pass: build the topic table AND buffer candidate trajectory
+    # messages as we go (a second read_messages pass would re-decompress
+    # every bz2 chunk — the dominant cost on real flight bags).  Memory is
+    # bounded to PARSERS-typed messages (or just the requested topic).
+    topics: Dict[str, Tuple[str, int]] = {}
+    buffered: Dict[str, list] = {}
+    for tp, ty, _, raw in read_messages(bag_path):
+        prev_ty, n = topics.get(tp, (ty, 0))
+        topics[tp] = (prev_ty, n + 1)
+        if (topic is None and ty in PARSERS) or tp == topic:
+            buffered.setdefault(tp, []).append(raw)
     if topic is None:
         prefer = [f"/{mav_name}/robot_states"]
         prefer += [t for t, (ty, _) in topics.items() if ty == "nav_msgs/Odometry"]
@@ -337,10 +347,7 @@ def bag_to_npz(
     parser = PARSERS.get(msg_type)
     if parser is None:
         raise ValueError(f"unsupported message type {msg_type!r} on {topic!r}")
-
-    rows = [
-        parser(raw) for _, ty, _, raw in read_messages(bag_path, [topic])
-    ]
+    rows = [parser(raw) for raw in buffered.get(topic, [])]
     if not rows:
         raise ValueError(f"no messages on {topic!r}")
 

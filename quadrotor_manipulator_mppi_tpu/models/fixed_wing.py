@@ -396,7 +396,12 @@ def liftdrag_wrench(
     )
     cos_sweep2 = 1.0 - sin_sweep * sin_sweep  # reference's "cosSweepAngle"
 
-    # Remove spanwise velocity (the reference's velInLDPlane, :223)
+    # The reference's velInLDPlane (:223) subtracts the spanwise component
+    # ALONG THE VELOCITY DIRECTION: vel - (vel . spanwise) * vel_hat — NOT
+    # the textbook projection vel - (vel . spanwise) * spanwise (which
+    # would remove it along the spanwise axis).  Upstream Gazebo quirk,
+    # reproduced bug-for-bug like the depth-noise quirks; the two agree
+    # whenever sweep is zero (no spanwise inflow), the normal regime.
     vel_ld = vel - jnp.sum(vel * spanwise_i, axis=-1, keepdims=True) * vel_i
 
     drag_dir = -vel_ld / jnp.maximum(

@@ -948,22 +948,13 @@ def run_fixed_wing(args):
 
     from .models import fixed_wing as fw
     from .solver import fixed_wing as fw_solver
-    from .solver.mppi import MPPIConfig
 
-    params = fw_solver.FwMPPIParams(
-        mppi=MPPIConfig(
-            n_samples=args.k or 1024,
-            n_horizon=40,
-            n_action=4,
-            dt=0.05,
-            lam=0.05,
-            sigma=(0.25, 0.25, 0.2, 0.15),
-            savgol_window=5,
-            savgol_polyorder=2,
-            shift_warm_start=True,
-            u_min=(-1.0, -1.0, -1.0, -0.5),
-            u_max=(1.0, 1.0, 1.0, 0.5),
-        )
+    import dataclasses
+
+    base = fw_solver.FwMPPIParams()
+    params = dataclasses.replace(
+        base,
+        mppi=dataclasses.replace(base.mppi, n_samples=args.k or 1024),
     )
     cruise = 15.0
     target = jnp.asarray([250.0, 60.0, 110.0])
@@ -1027,88 +1018,27 @@ def run_mapped_flight(args):
     import jax
     import jax.numpy as jnp
 
-    from .models import multirotor as mr
-    from .sim import closed_loop as cl, flight_control as fc
-    from .sim import occupancy as occ, sensors
+    from .sim import mapped_loop
     from .solver import mapped as mapped_solver
-    from .utils import rotations as rotu
     import dataclasses
 
-    veh = mr.MultirotorParams()
-    start = jnp.asarray([0.0, 0.0, 1.8])
-    target = jnp.asarray([9.0, 0.0, 1.8])
-    # True scene (hidden from the solver): two spheres astride the line.
-    true_c = jnp.asarray([[3.5, 0.35, 1.8], [6.5, -0.5, 1.8]])
-    true_r = jnp.asarray([1.0, 1.0])
-
-    lp = sensors.LidarParams(n_beams=48, max_range=12.0, noise=0.01)
-    op = occ.OccupancyParams(
-        origin=(-1.0, -4.0, 0.8), resolution=0.25, shape=(48, 32, 8),
-        n_free_samples=24, max_range=10.0,
-    )
+    cfg = mapped_loop.MappedFlightConfig()
     base = mapped_solver.MappedMPPIParams(altitude_weight=8.0)
     params = dataclasses.replace(
         base, mppi=dataclasses.replace(base.mppi, n_samples=args.k or 1024)
     )
-    step, init = mapped_solver.make_mapped_solver(params)
-    margin = 0.65  # voxel half-diagonal is 0.217; + vehicle radius
-
-    dirs_b = sensors.lidar_directions(lp)
+    control_step = mapped_loop.make_mapped_control_step(cfg, params)
+    _, init = mapped_solver.make_mapped_solver(params)
+    plant0, ctrl0, grid0 = mapped_loop.init_mapped_flight(cfg)
     sol0 = init(jax.random.PRNGKey(args.seed))
-    grid0 = occ.init_grid(op)
-    plant0 = mr.init_state(veh, pos=tuple(float(x) for x in start))
-    plant0 = plant0._replace(
-        rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
-    )
-    ctrl0 = fc.init_ctrl_state(veh.mass)
-    gains = fc.FlightGains()
-
-    def control_step(carry, key):
-        plant, ctrl, sol, grid = carry
-        rotm = rotu.quat_to_matrix(plant.quat)
-        ranges = sensors.lidar_measure(
-            lp, key, plant.pos, rotm, ground_z=-50.0,
-            sphere_centers=true_c, sphere_radii=true_r,
-        )
-        dirs_w = jnp.einsum("ij,bj->bi", rotm, dirs_b)
-        endpoints = plant.pos[None, :] + dirs_w * ranges[:, None]
-        grid = occ.insert_rays(
-            op, grid, plant.pos, endpoints,
-            jnp.ones((lp.n_beams,), bool),
-        )
-        centers, radii = occ.occupied_centers(op, grid, max_n=64)
-        radii_eff = jnp.where(radii > 0.0, radii + margin, 0.0)
-
-        obs = mapped_solver.MappedObs(
-            x=plant.pos, v=plant.vel, target=target,
-            obst_centers=centers, obst_radii=radii_eff,
-        )
-        out, sol = step(sol, obs)
-        # Position-only carrot (the drone_pose contract, drone.py:239-241):
-        # feeding the plan's own velocity forward removes the inner loop's
-        # damping and runs away.
-        sp = fc.hover_setpoint(out.xdes)
-
-        def tick(c, _):
-            p, ct = c
-            u, ct = fc.backstepping_step(
-                gains, veh, ct, sp, pos=p.pos, vel_world=p.vel,
-                rpy=cl.rpy_of(p), omega_body=p.omega, dt=0.001,
-            )
-            p = mr.step(veh, p, fc.allocate(veh, u), 0.001)
-            return (p, ct), None
-
-        (plant, ctrl), _ = jax.lax.scan(tick, (plant, ctrl), None, length=10)
-        clearance = jnp.min(
-            jnp.linalg.norm(plant.pos - true_c, axis=-1) - true_r
-        )
-        return (plant, ctrl, sol, grid), (plant.pos, clearance)
+    target = jnp.asarray(cfg.target)
 
     @jax.jit
     def episode():
         keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.steps)
         (plant, _, _, grid), (pos, clr) = jax.lax.scan(
-            control_step, (plant0, ctrl0, sol0, grid0), keys
+            lambda carry, key: control_step(*carry, key),
+            (plant0, ctrl0, sol0, grid0), keys,
         )
         return plant, grid, pos, clr
 
@@ -1205,9 +1135,13 @@ def run_waypoint_file(args):
         plant = mr.step(veh, plant, fc.allocate(veh, u), dt)
         return (plant, yaw_cmd), plant.pos
 
+    # Start the slewed yaw reference at the PLANT's initial yaw (identity
+    # attitude = 0), not the first waypoint's: otherwise a file whose first
+    # line carries a large yaw would apply it as the very unshaped step the
+    # slew exists to prevent.
     run = jax.jit(
         lambda p: jax.lax.scan(
-            tick, (p, jnp.asarray(yaws[0], jnp.float32)),
+            tick, (p, jnp.zeros((), jnp.float32)),
             jnp.arange(total_ticks),
         )
     )

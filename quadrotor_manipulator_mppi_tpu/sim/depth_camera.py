@@ -136,8 +136,7 @@ def d435_depth_noise(
     RMS = (z[mm])^2 * subpixel / (f * baseline * 1e6); the reference then
     squares the RMS once more before scaling the unit normal and clips the
     result at ``max_stdev`` — reproduced verbatim."""
-    f = 0.5 * params.width / float(np.tan(0.5 * params.h_fov))
-    multiplier = subpixel_err / (f * baseline * 1e6)
+    multiplier = subpixel_err / (params.focal * baseline * 1e6)
     rms = (depth * 1000.0) ** 2 * multiplier
     scale = jnp.minimum(rms * rms, max_stdev)
     noisy = depth + scale * jax.random.normal(key, depth.shape, depth.dtype)

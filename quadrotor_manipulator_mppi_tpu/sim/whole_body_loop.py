@@ -414,7 +414,9 @@ def make_whole_body_episode(
             tau_b = base_rot_now.T @ jnp.cross(
                 ee_pos_now - plant.base.pos, reaction_w
             )
-            ext_wrench_b = (f_b, tau_b)
+            # ACCUMULATE (the generalized-contact branch above may already
+            # have contributed hull/arm-vs-world forces).
+            ext_wrench_b = (ext_wrench_b[0] + f_b, ext_wrench_b[1] + tau_b)
             # The manipulator feels the contact too: project the EE reaction
             # through the arm Jacobian into joint torques (the same route
             # tau_g takes base-ward), held constant over the control period

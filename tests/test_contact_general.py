@@ -180,3 +180,36 @@ def test_closed_loop_stand_no_passthrough_and_avoidance():
     )
     np.testing.assert_allclose(np.asarray(f_b), 0.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tau_arm), 0.0, atol=1e-5)
+
+
+def test_contact_wrench_survives_graspable_branch():
+    """Regression: with BOTH the generalized-contact layer and a graspable
+    object enabled, the contact base wrench must still reach the plant
+    (the graspable branch used to overwrite it).  With the object placed
+    far away (zero reaction), contact+graspable must match contact-only."""
+    from quadrotor_manipulator_mppi_tpu.sim import graspable as gr
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+
+    params = wbs.position_mode_params(n_samples=64, n_horizon=16)
+    obs0 = wbs.default_obs()
+    cp = ct.ContactParams()
+    gp = gr.GraspableParams()
+    far_obj = gr.init_graspable(gp, pos=(100.0, 100.0, 50.0))
+
+    def run(graspable, obj):
+        ep = wbl.make_whole_body_episode(
+            params, n_control_steps=40, contact=cp, graspable=graspable
+        )
+        _, init = wbs.make_whole_body_solver(params)
+        plant = wbl.init_plant(params.model.vehicle)
+        args = [plant, init(jax.random.key(0)), obs0.ee_target,
+                obs0.base_target]
+        if graspable is not None:
+            args.append(obj)
+        final, logs = jax.jit(ep)(*args)
+        return np.asarray(logs.base_pos)
+
+    base_contact_only = run(None, None)
+    base_both = run(gp, far_obj)
+    np.testing.assert_allclose(base_both, base_contact_only, atol=1e-5)

@@ -190,3 +190,49 @@ def test_full_k_attitude_mode_submm_hold():
     assert (l1_cmd < 0.005).any()
     assert l1_cmd[tail].max() < 0.002, f"{l1_cmd[tail].max()*1000:.2f} mm"
     assert l1_meas[tail].max() < 0.005, f"{l1_meas[tail].max()*1000:.2f} mm"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 components on hardware: fixed-wing flyby, map-in-the-loop flight.
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_wing_flyby_on_hardware():
+    """The Techpod MPPI waypoint flyby (run.py fixed-wing) at full preset
+    K=1024 reaches the waypoint on the real chip."""
+    import quadrotor_manipulator_mppi_tpu.run as run_mod
+
+    class A:
+        steps, seed, k, save_log, platform = 400, 0, 0, None, "auto"
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_mod.run_fixed_wing(A())
+    import json
+
+    r = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r["reached"] is True
+    assert r["min_altitude_m"] > 80.0
+
+
+def test_mapped_flight_on_hardware():
+    """Online occupancy mapping on the control path at full K=1024:
+    collision-free waypoint reach with map-derived obstacles."""
+    import quadrotor_manipulator_mppi_tpu.run as run_mod
+
+    class A:
+        steps, seed, k, save_log, platform = 3000, 0, 0, None, "auto"
+
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_mod.run_mapped_flight(A())
+    r = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r["collided"] is False
+    assert r["reached"] is True
