@@ -1023,7 +1023,11 @@ def run_mapped_flight(args):
     import dataclasses
 
     cfg = mapped_loop.MappedFlightConfig()
-    base = mapped_solver.MappedMPPIParams(altitude_weight=8.0)
+    base = mapped_solver.MappedMPPIParams(
+        altitude_weight=8.0,
+        use_esdf=(args.obstacles == "esdf"),
+        esdf_params=cfg.grid,
+    )
     params = dataclasses.replace(
         base, mppi=dataclasses.replace(base.mppi, n_samples=args.k or 1024)
     )
@@ -1218,6 +1222,10 @@ def main(argv=None):
                         "(0 = preset)")
     p.add_argument("--file", default=None,
                    help="waypoint-file: RotorS-format waypoint file")
+    p.add_argument("--obstacles", default="spheres",
+                   choices=["spheres", "esdf"],
+                   help="mapped-flight: obstacle representation (top-N "
+                        "sphere export or the occupancy distance field)")
     args = p.parse_args(argv)
     if args.platform == "cpu" and args.scenario != "bench-scaling":
         import jax

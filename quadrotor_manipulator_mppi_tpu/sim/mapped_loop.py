@@ -88,9 +88,15 @@ def make_mapped_control_step(
         )
         radii_eff = jnp.where(radii > 0.0, radii + cfg.margin, 0.0)
 
+        dist_field = None
+        if params.use_esdf:
+            dist_field = occ.distance_field(
+                op, grid, max_dist=params.esdf_max_dist
+            )
         obs = mapped_solver.MappedObs(
             x=plant.pos, v=plant.vel, target=target,
             obst_centers=centers, obst_radii=radii_eff,
+            dist_field=dist_field,
         )
         out, sol = step(sol, obs)
         # Position-only carrot (the drone_pose contract, drone.py:239-241):

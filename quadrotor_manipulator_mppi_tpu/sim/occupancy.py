@@ -210,3 +210,66 @@ def load_npz(path: str) -> Tuple[OccupancyParams, OccupancyGrid]:
         max_range=float(d["max_range"]),
     )
     return params, OccupancyGrid(log_odds=jnp.asarray(lo))
+
+
+# ---------------------------------------------------------------------------
+# Euclidean-ish distance field (the voxblox-ESDF analog).
+# ---------------------------------------------------------------------------
+
+
+def distance_field(
+    params: OccupancyParams,
+    grid: OccupancyGrid,
+    max_dist: float = 2.0,
+    threshold: float = OCCUPIED_THRESHOLD,
+) -> Array:
+    """(nx, ny, nz) distance-to-nearest-occupied-voxel [m], clamped at
+    ``max_dist`` — a chamfer-relaxation EDT computed entirely on device.
+
+    Modern mapping stacks pair the occupancy map with an ESDF (voxblox,
+    nvblox) so planners get smooth clearance gradients instead of a sphere
+    list; octomap itself ships ``DynamicEDT3D`` for the same purpose.  The
+    TPU-native version is jit-friendly brute relaxation: initialize
+    occupied voxels to 0 and everything else to ``max_dist``, then repeat
+    d <- min(d, shift(d, axis) + resolution) over the 6-neighborhood for
+    ceil(max_dist / resolution) sweeps (each sweep is 6 rolls + mins — a
+    fused elementwise pass; the grid easily fits VMEM/HBM).  The result is
+    the L1-chamfer upper bound of the Euclidean distance — conservative,
+    which is the safe direction for clearance costs.
+    """
+    res = params.resolution
+    occ_mask = grid.log_odds > threshold
+    d0 = jnp.where(occ_mask, 0.0, max_dist).astype(grid.log_odds.dtype)
+    n_iter = int(np.ceil(max_dist / res))
+
+    def relax(d, _):
+        for axis in range(3):
+            for shift in (1, -1):
+                rolled = jnp.roll(d, shift, axis=axis)
+                # edge rows roll around the grid; reset them to max_dist
+                idx = 0 if shift == 1 else -1
+                rolled = jax.lax.dynamic_update_index_in_dim(
+                    rolled, jnp.full_like(
+                        jax.lax.index_in_dim(rolled, idx, axis, keepdims=False),
+                        max_dist,
+                    ),
+                    idx, axis,
+                )
+                d = jnp.minimum(d, rolled + res)
+        return jnp.minimum(d, max_dist), None
+
+    d, _ = jax.lax.scan(relax, d0, None, length=n_iter)
+    return d
+
+
+def query_distance(
+    params: OccupancyParams,
+    dist: Array,
+    pts: Array,
+    max_dist: float = 2.0,
+) -> Array:
+    """Clearance [m] at world points via the precomputed distance field
+    (nearest-voxel gather; out-of-bounds reads return ``max_dist``)."""
+    ijk, inb = _voxel_index(params, pts)
+    d = dist[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+    return jnp.where(inb, d, max_dist)

@@ -36,6 +36,9 @@ class MappedObs(NamedTuple):
     target: Array        # (3,)
     obst_centers: Array  # (N, 3) dynamic obstacle spheres (map export)
     obst_radii: Array    # (N,)  0 = inert slot
+    # Optional ESDF (sim/occupancy.distance_field) — consumed instead of
+    # the sphere export when MappedMPPIParams.use_esdf is set.
+    dist_field: Array = None
 
 
 class MappedOutput(NamedTuple):
@@ -84,6 +87,16 @@ class MappedMPPIParams:
     # clips what the map never saw.  Keeping the task in the sensed plane
     # forces lateral avoidance — the sensor geometry's honest envelope.
     altitude_weight: float = 0.0
+    # ESDF obstacle mode: instead of the top-N sphere export, the rollout
+    # queries the occupancy map's distance field directly — smooth
+    # clearance everywhere the map covers, no N-obstacle truncation.
+    # Requires the OccupancyParams the field was built with (static
+    # geometry) and obs.dist_field each solve.
+    use_esdf: bool = False
+    esdf_params: object = None        # sim.occupancy.OccupancyParams
+    esdf_margin: float = 0.9          # clearance floor [m]
+    esdf_max_dist: float = 2.0
+    esdf_weight: float = 2000.0
     # Inside this radius the emitted carrot blends linearly toward the
     # target itself.  Re-planning from the measured state makes the
     # lookahead carrot FOLLOW the plant (carrot = x + O(u dt^2)), so
@@ -111,9 +124,19 @@ def make_mapped_solver(
         dist = jnp.linalg.norm(traj - obs.target, axis=-1)        # (K, H)
         s = params.stage_weight * jnp.sum(dist, axis=-1)
         s = s + params.terminal_weight * dist[..., -1]
-        s = s + costs_mod.sphere_obstacle_cost(
-            traj, obs.obst_centers, obs.obst_radii, params.obstacle_weight
-        )
+        if params.use_esdf:
+            from ..sim import occupancy as occ_mod
+
+            clearance = occ_mod.query_distance(
+                params.esdf_params, obs.dist_field, traj,
+                max_dist=params.esdf_max_dist,
+            )
+            pen = jnp.maximum(params.esdf_margin - clearance, 0.0)
+            s = s + params.esdf_weight * jnp.sum(pen * pen, axis=-1)
+        else:
+            s = s + costs_mod.sphere_obstacle_cost(
+                traj, obs.obst_centers, obs.obst_radii, params.obstacle_weight
+            )
         speed = jnp.linalg.norm(vel, axis=-1)
         s = s + params.speed_weight * jnp.sum(
             jnp.maximum(speed - params.max_speed, 0.0) ** 2, axis=-1

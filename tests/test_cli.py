@@ -129,3 +129,17 @@ def test_waypoint_file_default_resource(capsys):
     r = run_cli(capsys, ["waypoint-file"])
     assert r["n_waypoints"] == 5
     assert r["passed"] is True
+
+
+def test_mapped_flight_esdf_mode(capsys):
+    """The distance-field obstacle representation (--obstacles esdf): same
+    task, obstacle costs from occupancy-ESDF queries instead of the top-N
+    sphere export."""
+    r = run_cli(
+        capsys,
+        ["mapped-flight", "--steps", "3000", "--k", "512",
+         "--obstacles", "esdf"],
+    )
+    assert r["reached"] is True
+    assert r["collided"] is False
+    assert r["min_clearance_m"] > 0.1

@@ -278,3 +278,107 @@ def test_mapped_solver_inert_slots_do_not_repel():
     u_inert = u_with(on_path, jnp.zeros(2))
     u_empty = u_with(jnp.zeros((2, 3)), jnp.zeros(2))
     np.testing.assert_allclose(u_inert, u_empty, atol=1e-6)
+
+
+def test_distance_field_chamfer():
+    """ESDF relaxation: 0 at occupied voxels, L1-chamfer growth with the
+    voxel resolution, clamped at max_dist, conservative (>= Euclidean)."""
+    params = occ.OccupancyParams(
+        origin=(0.0, 0.0, 0.0), resolution=0.5, shape=(12, 12, 6),
+        n_free_samples=4, max_range=10.0,
+    )
+    grid = occ.init_grid(params)
+    # occupy one voxel at index (6, 6, 3) by direct log-odds poke
+    lo = grid.log_odds.at[6, 6, 3].set(occ.LOG_ODDS_MAX)
+    grid = occ.OccupancyGrid(log_odds=lo)
+    d = occ.distance_field(params, grid, max_dist=2.0)
+    assert float(d[6, 6, 3]) == 0.0
+    np.testing.assert_allclose(float(d[7, 6, 3]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(d[6, 8, 3]), 1.0, atol=1e-6)
+    # diagonal neighbor: chamfer L1 = 1.0 >= Euclid 0.707 (conservative)
+    np.testing.assert_allclose(float(d[7, 7, 3]), 1.0, atol=1e-6)
+    # far corner clamps
+    assert float(d[0, 0, 0]) == 2.0
+    # world-space query: center of the occupied voxel
+    q = occ.query_distance(
+        params, d, jnp.asarray([3.25, 3.25, 1.75]), max_dist=2.0
+    )
+    assert float(q) == 0.0
+    # out of bounds -> max_dist
+    q_oob = occ.query_distance(
+        params, d, jnp.asarray([100.0, 0.0, 0.0]), max_dist=2.0
+    )
+    assert float(q_oob) == 2.0
+
+
+def test_distance_field_from_scanned_scene():
+    """End-to-end: scan a sphere into the grid, the ESDF is small near the
+    mapped surface and large in carved free space."""
+    grid = occ.init_grid(PARAMS)
+    cam = jnp.asarray([0.0, 0.0, 3.0])
+    sphere = (jnp.asarray([[0.5, 0.5, 1.0]]), jnp.asarray([0.4]))
+    for _ in range(3):
+        grid = _scan_into_grid(grid, cam, sphere=sphere)
+    d = occ.distance_field(PARAMS, grid, max_dist=1.5)
+    near = float(occ.query_distance(
+        PARAMS, d, jnp.asarray([0.5, 0.5, 1.55]), max_dist=1.5))
+    far = float(occ.query_distance(
+        PARAMS, d, jnp.asarray([0.5, 0.5, 2.6]), max_dist=1.5))
+    assert near < 0.6
+    assert far > 1.0
+
+
+def test_mapped_solver_esdf_cost_bends_plans():
+    """ESDF mode: a distance field with a low-clearance blob on the straight
+    path must push the plan around it."""
+    import dataclasses
+
+    import jax
+    from quadrotor_manipulator_mppi_tpu.ops import integrators
+    from quadrotor_manipulator_mppi_tpu.solver import mapped as ms
+
+    op = occ.OccupancyParams(
+        origin=(-1.0, -3.0, 0.0), resolution=0.25, shape=(32, 24, 12),
+        n_free_samples=8, max_range=10.0,
+    )
+    base = ms.MappedMPPIParams(use_esdf=True, esdf_params=op)
+    params = dataclasses.replace(
+        base, mppi=dataclasses.replace(base.mppi, n_samples=512)
+    )
+    step, init = ms.make_mapped_solver(params)
+    # cruising start so the horizon actually traverses the blob location
+    x = jnp.asarray([0.0, 0.0, 1.5])
+    v0 = jnp.asarray([2.5, 0.0, 0.0])
+    target = jnp.asarray([6.0, 0.0, 1.5])
+    center = jnp.asarray([3.0, 0.0, 1.5])
+
+    def plan_min_dist(grid):
+        d = occ.distance_field(op, grid, max_dist=params.esdf_max_dist)
+        sol = init(jax.random.PRNGKey(0))
+        obs = ms.MappedObs(
+            x=x, v=v0, target=target,
+            obst_centers=jnp.zeros((1, 3)), obst_radii=jnp.zeros(1),
+            dist_field=d,
+        )
+        for _ in range(25):
+            out, sol = step(sol, obs)
+        traj, _ = integrators.double_integrate(
+            out.u_seq[None], x, v0, params.mppi.dt
+        )
+        return float(jnp.linalg.norm(traj[0] - center, axis=-1).min())
+
+    free = plan_min_dist(occ.init_grid(op))
+    blob = occ.init_grid(op)
+    ijk, _ = occ._voxel_index(op, center)
+    # a 3x3x3 occupied blob (a single voxel's ESDF well is narrower than
+    # the MPPI plan's own noise floor)
+    i, j, k = int(ijk[0]), int(ijk[1]), int(ijk[2])
+    lo = blob.log_odds.at[i - 1:i + 2, j - 1:j + 2, k - 1:k + 2].set(
+        occ.LOG_ODDS_MAX
+    )
+    blocked = plan_min_dist(occ.OccupancyGrid(log_odds=lo))
+    # the unobstructed plan passes near the blob (MPPI plans carry an
+    # O(sigma) noise floor, so "near" not "through")
+    assert free < 0.55
+    assert blocked > free + 0.15
+    assert blocked > params.esdf_margin * 0.6

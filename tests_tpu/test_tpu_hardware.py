@@ -225,6 +225,7 @@ def test_mapped_flight_on_hardware():
 
     class A:
         steps, seed, k, save_log, platform = 3000, 0, 0, None, "auto"
+        obstacles = "spheres"
 
     import io
     import json
