@@ -380,18 +380,24 @@ def step12(
     dt: float,
     extra_mass: float = 0.0,
     drag_kd: float = 0.0,
+    rate_damping: float = 0.0,
 ) -> Multirotor12State:
     """Explicit-Euler reduced step with wrench input u = [T, tau_x, tau_y, tau_z].
 
     Follows the reference's intended rollout dynamics (drone_mppi.py:57-83):
     omega <- omega + dt I^-1 tau; eta <- eta + dt J(eta) omega (angles wrapped
     to [-pi, pi]); v <- v + dt (g + R f / m - k_d v); p <- p + dt v.
+
+    ``rate_damping`` adds the wrench-mode stabilizer tau -= kd I omega
+    (omega <- (1 - dt kd) omega + dt I^-1 tau) — the same first-order
+    body-rate feedback the plant applies in that mode
+    (``sim/whole_body_loop``), so the rollout models the damped loop.
     """
     dtype = state.pos.dtype
     m = params.mass + extra_mass
     inertia = jnp.asarray(params.inertia, dtype)
 
-    omega = state.omega + dt * (u[..., 1:4] / inertia)
+    omega = (1.0 - dt * rate_damping) * state.omega + dt * (u[..., 1:4] / inertia)
     j = euler_rate_matrix(state.rpy)
     rpy = state.rpy + dt * jnp.einsum("...ij,...j->...i", j, omega)
     rpy = jnp.arctan2(jnp.sin(rpy), jnp.cos(rpy))

@@ -93,6 +93,15 @@ class WholeBodyParams:
     # gazebo_motor_model.cpp; 0 disables).  Applied as a precomputed
     # discrete-convolution matrix along H — parallel-in-time friendly.
     rotor_lag_tau: float = 0.02
+    # Wrench-mode stabilizer [1/s]: the plant applies tau -= kd I omega as
+    # a 1 kHz body-rate feedback UNDER the MPPI torque, and the rollout
+    # models the same damped dynamics (the omega cumsum becomes the
+    # _drag_decay_operator recurrence — still parallel-in-time).  Without
+    # it, 100 Hz-held torques through the asymmetric rotor lag cannot
+    # stabilize attitude against model mismatch and the closed loop
+    # wanders (ROADMAP "wrench (research): fragile").  0 = the original
+    # pure direct-wrench behavior.
+    rate_damping: float = 0.0
 
     def chain(self) -> ChainSpec:
         return kinova.chain(self.arm_tip)
@@ -189,6 +198,7 @@ def _base_rollout_scan(
         nxt = step12(
             params.vehicle, b, u_t, dt,
             extra_mass=params.arm_mass_lump, drag_kd=params.drag_kd,
+            rate_damping=params.rate_damping,
         )
         return nxt, nxt
 
@@ -231,7 +241,12 @@ def _base_rollout_parallel(
     m = vehicle.mass + params.arm_mass_lump
     inertia = jnp.asarray(vehicle.inertia, dtype)
 
-    omega = state.base.omega + jnp.cumsum(base_u[..., 1:4] / inertia * dt, axis=-2)
+    # Body rates: plain cumsum, or the damped recurrence
+    # omega' = (1 - dt kd) omega + dt tau/I when rate_damping > 0 (the
+    # wrench-mode stabilizer) — same decay-operator machinery as drag.
+    omega = _drag_velocity(
+        params.rate_damping, dt, state.base.omega, base_u[..., 1:4] / inertia
+    )
     dq = rot.quat_from_axis_angle(omega * dt)                   # (K, H, 4)
     prefix = jax.lax.associative_scan(rot.quat_multiply, dq, axis=-2)
     q0 = rot.matrix_to_quat(base_rotation(state.base))          # (4,)

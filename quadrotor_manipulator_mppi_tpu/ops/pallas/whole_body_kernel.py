@@ -91,7 +91,8 @@ _COL_WBASE = 4       # base position-error weight (0 at the terminal step)
 _COL_HOM = 5         # 6: homogeneous response columns (per axis: pos, vel)
 _COL_VHOM = 11       # linear-drag velocity decay alpha^(t+1) (ones: no drag)
 _COL_PHOM = 12       # dt * cumsum(alpha^(t+1)) — initial-velocity term of pos
-_COL_LEN = 13
+_COL_OHOM = 13       # rate-damping omega decay (1-dt*kd)^(t+1) (wrench mode)
+_COL_LEN = 14
 
 
 # atan(t) ~ t * P(t^2) on [0, 1]: degree-15 odd least-squares fit on
@@ -327,7 +328,9 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         # rotor lag on the whole commanded wrench, arm gravity moment
         # coupling, omega cumsum, quaternion prefix scan for attitude,
         # velocity/position cumsums (drag-decay operator when drag_kd > 0).
-        lmat, fmat, dvmat = mats_ref[1], mats_ref[2], mats_ref[3]
+        lmat, fmat, dvmat, omat = (
+            mats_ref[1], mats_ref[2], mats_ref[3], mats_ref[4]
+        )
         if c["rotor_lag"]:
             wrench = [_mm(fmat, v[i]) for i in range(4)]
         else:
@@ -338,9 +341,12 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
             tgx, tgy, tgz = _arm_gravity_moment(q_joints, gb, consts=c)
             taux, tauy, tauz = taux + tgx, tauy + tgy, tauz + tgz
         ix, iy, iz = c["inertia"]
-        om_r = sc_ref[_SC_OM0] + (dt / ix) * _mm(lmat, taux)
-        om_p = sc_ref[_SC_OM0 + 1] + (dt / iy) * _mm(lmat, tauy)
-        om_y = sc_ref[_SC_OM0 + 2] + (dt / iz) * _mm(lmat, tauz)
+        # omat/ohom realize the rate-damping recurrence (== lmat/1s when
+        # rate_damping = 0; models/whole_body._drag_decay_operator).
+        ohom = cols_ref[:, _COL_OHOM:_COL_OHOM + 1]
+        om_r = sc_ref[_SC_OM0] * ohom + (dt / ix) * _mm(omat, taux)
+        om_p = sc_ref[_SC_OM0 + 1] * ohom + (dt / iy) * _mm(omat, tauy)
+        om_y = sc_ref[_SC_OM0 + 2] * ohom + (dt / iz) * _mm(omat, tauz)
         dq = _quat_from_rotvec(om_r * dt, om_p * dt, om_y * dt)
         prefix = _quat_prefix_scan(dq, c["h"])
         q0 = (sc_ref[_SC_BQ0], sc_ref[_SC_BQ0 + 1],
@@ -562,7 +568,11 @@ def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
     elif mp.control_mode == "wrench":
         fmat = (_rotor_lag_matrix(h, dt, mp.rotor_lag_tau)
                 if mp.rotor_lag_tau > 0.0 else np.eye(h))
-        mats = [q_arm, lower, fmat, dvmat]
+        omat = (
+            _drag_decay_operator(h, 1.0 - dt * mp.rate_damping)[0]
+            if mp.rate_damping else lower
+        )
+        mats = [q_arm, lower, fmat, dvmat, omat]
     else:
         g_xy, go_xy, _ = _attitude_response_matrices(h, dt, mp.pos_kp_xy, mp.pos_kd_xy)
         g_z, go_z, _ = _attitude_response_matrices(h, dt, mp.pos_kp_z, mp.pos_kd_z)
@@ -573,7 +583,8 @@ def _host_matrices(mp, h: int, dt: float) -> np.ndarray:
 
 
 def _host_static_cols(
-    cp, h: int, dt: float, gamma: float, drag_kd: float = 0.0
+    cp, h: int, dt: float, gamma: float, drag_kd: float = 0.0,
+    rate_damping: float = 0.0,
 ) -> np.ndarray:
     cols = np.zeros((h, _COL_LEN), np.float32)
     cols[:, _COL_TCOL] = dt * np.arange(1, h + 1)
@@ -587,6 +598,7 @@ def _host_static_cols(
     vhom = (1.0 - dt * drag_kd) ** np.arange(1, h + 1)
     cols[:, _COL_VHOM] = vhom
     cols[:, _COL_PHOM] = dt * np.cumsum(vhom)
+    cols[:, _COL_OHOM] = (1.0 - dt * rate_damping) ** np.arange(1, h + 1)
     return cols
 
 
@@ -666,7 +678,8 @@ def make_whole_body_pallas_step(
     )
 
     mats_np = _host_matrices(mp, h, dt)
-    cols_static = _host_static_cols(cp, h, dt, cp.gamma, mp.drag_kd)
+    cols_static = _host_static_cols(cp, h, dt, cp.gamma, mp.drag_kd,
+                                    mp.rate_damping)
     n_mats = mats_np.shape[0]
 
     vm = pltpu.VMEM

@@ -469,7 +469,9 @@ def run_mission(args):
 def run_whole_body_full(args):
     """Whole-body MPPI on the FULL plant (quaternion body, rotor lag, arm
     forward dynamics) — the flagship closed loop.  --mode position (default;
-    robust cascade) or --mode attitude (faster, drifts past ~3 s)."""
+    robust cascade), --mode attitude (the benchmark headline; needs
+    K >= ~2048 closed-loop) or --mode wrench (direct actuation with the
+    round-3 stabilizers: arm-gravity feed-forward + rate damping)."""
     import dataclasses
 
     import jax
@@ -479,6 +481,8 @@ def run_whole_body_full(args):
 
     if args.mode == "position":
         params = wbs.position_mode_params(n_samples=512)
+    elif args.mode == "wrench":
+        params = wbs.wrench_mode_params(n_samples=512)
     else:
         base = wbs.WholeBodyMPPIParams()
         params = dataclasses.replace(
@@ -1200,7 +1204,7 @@ def main(argv=None):
     p.add_argument("--controller", default="backstepping",
                    choices=["pid", "backstepping", "lee"])
     p.add_argument("--mode", default="position",
-                   choices=["position", "attitude"],
+                   choices=["position", "attitude", "wrench"],
                    help="whole-body-full action mode")
     p.add_argument("--save-log", default=None)
     p.add_argument("--vehicle", default="harrier",

@@ -283,7 +283,25 @@ def make_whole_body_episode(
                 dt=cfg.physics_dt, tau_g=tau_g,
             )
         else:
-            wrench_cmd = action_cmd
+            # Direct wrench, with two plant-side stabilizers the rollout
+            # models exactly:
+            # (1) arm gravity-moment feed-forward -tau_g — the reference's
+            #     own harrier_grav_feedback (controller.cpp:541-560): the
+            #     inverted arm exerts a CONSTANT ~18 N*m roll moment; with
+            #     the feed-forward, zero sampled torque = level hover, so
+            #     the warm-start's decay toward the zero-torque nominal is
+            #     an equilibrium, not a fight (pair with
+            #     couple_arm_gravity=False in the solver model — the net
+            #     dynamics no longer contain tau_g);
+            # (2) with rate_damping, the 1 kHz body-rate feedback
+            #     tau -= kd I omega (modeled by step12 /
+            #     _base_rollout_parallel with the same kd).
+            tau_cmd = action_cmd[1:4] - tau_g
+            if params.model.rate_damping:
+                tau_cmd = tau_cmd - params.model.rate_damping * (
+                    inertia * plant.base.omega
+                )
+            wrench_cmd = jnp.concatenate([action_cmd[0:1], tau_cmd])
 
         rotor_cmd = fc.allocate(vehicle, wrench_cmd)
         base = mr.step(

@@ -175,6 +175,57 @@ def position_mode_params(
     )
 
 
+def wrench_mode_params(
+    n_samples: int = 4096, n_horizon: int = 50
+) -> "WholeBodyMPPIParams":
+    """Whole-body params for the direct-wrench mode, with the round-3
+    stabilizers that take it from research-fragile to stable closed loop:
+
+    * plant-side arm gravity-moment feed-forward (the reference's own
+      harrier_grav_feedback) paired with ``couple_arm_gravity=False`` —
+      the inverted arm's constant ~18 N*m roll moment otherwise fights
+      the warm-start's decay toward the zero-torque nominal and the
+      loop rolls over (measured);
+    * body-rate damping ``rate_damping=12`` — the 1 kHz feedback
+      tau -= kd I omega, modeled in the rollout as a decay operator
+      (parallel-in-time), which stops 100 Hz-held torques from
+      destabilizing attitude through the asymmetric rotor lag.
+
+    Closed-loop character (K=1024, 6 s episodes): reaches the EE target
+    (< 5 cm at best), tilt < 0.13 rad, altitude within 0.45 m, base shows
+    a slow bounded weave (~0.5 m) — the 0.5 s horizon under-damps the
+    ~2 s lateral position mode; attitude/position modes remain the
+    precision configurations (BASELINE.md).
+    """
+    sigma = np.asarray([8.0, 1.2, 1.2, 0.5] + [1.0] * kinova.N_JOINTS)
+    lo = np.asarray([0.0, -6.0, -6.0, -3.0] + [-20.0] * kinova.N_JOINTS)
+    hi = np.asarray([400.0, 6.0, 6.0, 3.0] + [20.0] * kinova.N_JOINTS)
+    return WholeBodyMPPIParams(
+        mppi=MPPIConfig(
+            n_samples=n_samples,
+            n_horizon=n_horizon,
+            n_action=N_ACTIONS,
+            dt=0.01,
+            lam=0.1,
+            sigma=sigma,
+            savgol_window=9,
+            u_min=lo,
+            u_max=hi,
+            warm_start_decay=0.9,
+            nominal_action=default_nominal_action(),
+            sigma_scale_fn=ee_error_sigma_schedule(),
+        ),
+        model=WholeBodyParams(
+            control_mode="wrench", rate_damping=12.0,
+            couple_arm_gravity=False,
+        ),
+        cost=WholeBodyCostParams(
+            base_pos_weight=400.0, vel_weight=300.0,
+            attitude_weight=400.0, omega_weight=10.0,
+        ),
+    )
+
+
 @dataclass(frozen=True)
 class WholeBodyMPPIParams:
     mppi: MPPIConfig = field(

@@ -220,8 +220,15 @@ def test_drag_kd_parallel_matches_scan():
     )
     actions = wbm.hover_nominal_action(wbm.WholeBodyParams(), h)[None] + noise
     # A hefty drag so the decay operator is exercised well away from cumsum.
-    p_par = wbm.WholeBodyParams(time_parallel=True, drag_kd=0.8)
-    p_seq = wbm.WholeBodyParams(time_parallel=False, drag_kd=0.8)
+    # control_mode must be "wrench": the attitude/position modes dispatch to
+    # their own rollouts regardless of time_parallel, which would make the
+    # scan-vs-parallel comparison vacuous.
+    p_par = wbm.WholeBodyParams(
+        control_mode="wrench", time_parallel=True, drag_kd=0.8
+    )
+    p_seq = wbm.WholeBodyParams(
+        control_mode="wrench", time_parallel=False, drag_kd=0.8
+    )
     _, _, _, base_p = wbm.rollout(p_par, obs.state, actions, dt)
     _, _, _, base_s = wbm.rollout(p_seq, obs.state, actions, dt)
     np.testing.assert_allclose(
@@ -232,7 +239,8 @@ def test_drag_kd_parallel_matches_scan():
     )
     # And drag actually bites: terminal speeds shrink vs the drag-free roll.
     _, _, _, base_0 = wbm.rollout(
-        wbm.WholeBodyParams(time_parallel=True), obs.state, actions, dt
+        wbm.WholeBodyParams(control_mode="wrench", time_parallel=True),
+        obs.state, actions, dt,
     )
     v_drag = np.linalg.norm(np.asarray(base_p.vel[:, -1]), axis=-1).mean()
     v_free = np.linalg.norm(np.asarray(base_0.vel[:, -1]), axis=-1).mean()
@@ -259,3 +267,65 @@ def test_drag_kd_attitude_mode_decays_initial_velocity():
     np.testing.assert_allclose(
         np.asarray(traj.vel[0, :, 0]), expect, rtol=1e-4, atol=1e-4
     )
+
+
+def test_rate_damping_parallel_matches_scan():
+    """The wrench-mode body-rate damping (round 3): the parallel-in-time
+    rollout's omega decay operator must track the sequential step12 scan
+    (omega' = (1 - dt kd) omega + dt tau/I), and damping must actually
+    shrink body rates vs the undamped roll."""
+    obs = wbs.default_obs()
+    k, h, dt = 16, 40, 0.01
+    noise = jax.random.normal(jax.random.key(7), (k, h, wbs.N_ACTIONS)) * (
+        jnp.asarray(wbs.wrench_sigma(), jnp.float32)
+    )
+    actions = wbm.hover_nominal_action(wbm.WholeBodyParams(), h)[None] + noise
+    state = obs.state._replace(
+        base=obs.state.base._replace(omega=jnp.asarray([0.4, -0.3, 0.2]))
+    )
+    p_par = wbm.WholeBodyParams(
+        control_mode="wrench", time_parallel=True, rate_damping=8.0
+    )
+    p_seq = wbm.WholeBodyParams(
+        control_mode="wrench", time_parallel=False, rate_damping=8.0
+    )
+    _, _, _, base_p = wbm.rollout(p_par, state, actions, dt)
+    _, _, _, base_s = wbm.rollout(p_seq, state, actions, dt)
+    np.testing.assert_allclose(
+        np.asarray(base_p.omega), np.asarray(base_s.omega), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(base_p.pos), np.asarray(base_s.pos), atol=3e-2
+    )
+    _, _, _, base_0 = wbm.rollout(
+        wbm.WholeBodyParams(control_mode="wrench", time_parallel=True),
+        state, actions, dt,
+    )
+    w_damp = np.linalg.norm(np.asarray(base_p.omega[:, -1]), axis=-1).mean()
+    w_free = np.linalg.norm(np.asarray(base_0.omega[:, -1]), axis=-1).mean()
+    assert w_damp < 0.7 * w_free
+
+
+def test_wrench_mode_stabilized_closed_loop():
+    """Round-3 wrench-mode robustness (ROADMAP 'wrench: fragile'): with the
+    arm-gravity feed-forward + rate damping (wrench_mode_params), the
+    direct-actuation loop on the FULL plant stays upright, holds altitude,
+    and reaches the EE target region — where the unstabilized config
+    rolls over under the arm's constant ~18 N*m moment (measured)."""
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+
+    params = wbs.wrench_mode_params(n_samples=512, n_horizon=50)
+    run = wbl.make_whole_body_episode(params, n_control_steps=300)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    final, logs = jax.jit(run)(
+        plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(logs.ee_err)
+    tilt = np.asarray(logs.tilt)
+    alt = np.asarray(logs.base_pos)[:, 2]
+    assert np.all(np.isfinite(e))
+    assert e.min() < 0.15
+    assert tilt.max() < 0.25
+    assert alt.min() > 1.2

@@ -161,3 +161,26 @@ def test_drag_kd_matches_xla_wrench_and_attitude():
         att, model=dataclasses.replace(att.model, drag_kd=0.5)
     )
     _run_both(att)
+
+
+def test_rate_damping_matches_xla_wrench():
+    """rate_damping > 0 in the fused kernel (round 3 wrench stabilizer):
+    the omega decay operator (omat) and the ohom initial-rate column must
+    track the XLA parallel-in-time rollout."""
+    p = _wrench_params(h=12)
+    p = dataclasses.replace(
+        p, model=dataclasses.replace(p.model, rate_damping=12.0)
+    )
+    _run_both(p)
+    # and combined with drag
+    p2 = dataclasses.replace(
+        p, model=dataclasses.replace(p.model, drag_kd=0.5)
+    )
+    _run_both(p2)
+
+
+def test_wrench_mode_params_preset_matches_xla():
+    """The full validated wrench preset (feed-forward pairing handled by the
+    loop; here the solver side: couple off, damping on) agrees between
+    backends."""
+    _run_both(_small(wb.wrench_mode_params()))
