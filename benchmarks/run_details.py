@@ -205,21 +205,10 @@ def main(which):
         log("position done", details["whole_body_position_fused_K4096_H50"])
 
     if "wrench" in which:
-        # The fused direct-wrench mode (in-kernel quaternion prefix scan).
-        import numpy as _np
-
-        wparams = wb.WholeBodyMPPIParams(
-            mppi=MPPIConfig(
-                n_samples=4096, n_horizon=50, n_action=wb.N_ACTIONS,
-                dt=0.01, lam=0.1, sigma=wb.wrench_sigma(), savgol_window=9,
-                nominal_action=_np.concatenate(
-                    [[wb.default_nominal_action()[0]], _np.zeros(wb.N_ACTIONS - 1)]
-                ),
-            ),
-            model=dataclasses.replace(
-                wb.WholeBodyParams(), control_mode="wrench"
-            ),
-        )
+        # The fused direct-wrench mode (in-kernel quaternion prefix scan),
+        # at the round-3 stabilized preset (rate damping via the omat/ohom
+        # decay operators; arm-gravity feed-forward lives on the plant).
+        wparams = wb.wrench_mode_params(n_samples=4096, n_horizon=50)
         wstep, winit = wb.make_whole_body_solver(wparams, backend="pallas")
         jw = jax.jit(wstep)
         wst = winit(jax.random.key(0))
