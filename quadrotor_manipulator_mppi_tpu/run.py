@@ -1113,6 +1113,69 @@ def run_waypoint_file(args):
         rotor_speed=jnp.full((veh.n_rotors,), veh.hover_rotor_speed())
     )
 
+    if args.smooth:
+        # Polynomial-trajectory mode (the mav_planning_msgs capability):
+        # fit a natural C2 cubic spline through the waypoints (knot times =
+        # the cumulative wait schedule) and track the continuous reference
+        # with full velocity + acceleration feed-forward — the smooth
+        # trajectory-tracking regime the Lee controller was designed for.
+        from .utils.trajectory import cubic_spline_coeffs, polynomial_sample
+
+        knots = np.concatenate([[0.0], np.cumsum(waits)])
+        kpts = np.concatenate([positions[:1], positions], axis=0)
+        breaks, coeffs = cubic_spline_coeffs(knots, kpts)
+        breaks_j = jnp.asarray(breaks, jnp.float32)
+        coeffs_j = jnp.asarray(coeffs, jnp.float32)
+        # Yaw rides its own C2 spline (unwrapped), giving smooth yaw with
+        # rate feed-forward — the simultaneous-step envelope problem of the
+        # discrete mode never arises on a continuous reference.
+        yk = np.unwrap(np.concatenate([[0.0], yaws]))
+        _, ycoeffs = cubic_spline_coeffs(knots, yk[:, None])
+        ycoeffs_j = jnp.asarray(ycoeffs, jnp.float32)
+
+        def tick_smooth(plant, t):
+            ts = t.astype(jnp.float32) * dt
+            p_ref = polynomial_sample(breaks_j, coeffs_j, ts)
+            v_ref = polynomial_sample(breaks_j, coeffs_j, ts, derivative=1)
+            a_ref = polynomial_sample(breaks_j, coeffs_j, ts, derivative=2)
+            yaw_ref = polynomial_sample(breaks_j, ycoeffs_j, ts)[0]
+            yaw_rate = polynomial_sample(breaks_j, ycoeffs_j, ts, derivative=1)[0]
+            sp = lee.LeeSetpoint(p_ref, velocity=v_ref, acceleration=a_ref,
+                                 yaw=yaw_ref, yaw_rate=yaw_rate)
+            u = lee.lee_control(gains, veh, sp, pos=plant.pos,
+                                vel_world=plant.vel, quat=plant.quat,
+                                omega_body=plant.omega)
+            plant = mr.step(veh, plant, fc.allocate(veh, u), dt)
+            return plant, (plant.pos, p_ref)
+
+        run = jax.jit(
+            lambda p: jax.lax.scan(tick_smooth, p, jnp.arange(total_ticks))
+        )
+        _, (pos_log, ref_log) = run(plant0)
+        pos_log, ref_log = np.asarray(pos_log), np.asarray(ref_log)
+        err = np.linalg.norm(pos_log - ref_log, axis=-1)
+        end_errors = [
+            float(np.linalg.norm(pos_log[int(min(e, total_ticks)) - 1]
+                                 - positions[i]))
+            for i, e in enumerate(ends)
+        ]
+        _finish(
+            "waypoint-file",
+            {
+                "file": path,
+                "smooth": True,
+                "n_waypoints": n_wp,
+                "track_rms_m": round(float(np.sqrt((err ** 2).mean())), 4),
+                "track_max_m": round(float(err.max()), 4),
+                "end_window_err_m": [round(e, 4) for e in end_errors],
+                "max_end_err_m": round(max(end_errors), 4),
+                "passed": bool(err.max() < 0.2),
+            },
+            {"pos": pos_log, "ref": ref_log},
+            args,
+        )
+        return
+
     # Raw waypoint steps are outside this plant's Lee envelope: a 2.8 m
     # diagonal step commands ~47 deg of tilt, which saturates rotors
     # through the asymmetric lag and diverges (measured; the reference's
@@ -1226,6 +1289,10 @@ def main(argv=None):
                         "(0 = preset)")
     p.add_argument("--file", default=None,
                    help="waypoint-file: RotorS-format waypoint file")
+    p.add_argument("--smooth", action="store_true",
+                   help="waypoint-file: fly a C2 cubic polynomial "
+                        "trajectory through the waypoints (vel+acc "
+                        "feed-forward) instead of step setpoints")
     p.add_argument("--obstacles", default="spheres",
                    choices=["spheres", "esdf"],
                    help="mapped-flight: obstacle representation (top-N "

@@ -75,3 +75,84 @@ def read_waypoint_file(path: str):
         _np.asarray(positions, _np.float64),
         _np.asarray(yaws, _np.float64),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polynomial trajectories — the mav_planning_msgs capability
+# (PolynomialSegment/PolynomialTrajectory: per-axis polynomial segments with
+# durations, sampled for position/velocity/acceleration references).
+# ---------------------------------------------------------------------------
+
+
+def cubic_spline_coeffs(times, points):
+    """Natural cubic spline through waypoints: C2 polynomial segments.
+
+    ``times`` (N,) strictly increasing knot times, ``points`` (N, D).
+    Returns ``(breaks (N,), coeffs (N-1, 4, D))`` with segment i valid on
+    [t_i, t_{i+1}] and p(t) = sum_k coeffs[i, k] * (t - t_i)^k — the
+    polynomial-segment representation of mav_planning_msgs
+    (PolynomialSegment: coefficient array + segment time), built host-side
+    with the classic tridiagonal second-derivative solve.
+    """
+    import numpy as _np
+
+    t = _np.asarray(times, _np.float64)
+    p = _np.asarray(points, _np.float64)
+    if p.ndim == 1:
+        p = p[:, None]
+    n = len(t)
+    if n < 2:
+        raise ValueError("need at least two waypoints")
+    h = _np.diff(t)                                   # (N-1,)
+    # Solve for knot second derivatives M (natural: M_0 = M_{N-1} = 0).
+    m = _np.zeros((n, p.shape[1]))
+    if n > 2:
+        a = _np.zeros((n - 2, n - 2))
+        rhs = _np.zeros((n - 2, p.shape[1]))
+        for i in range(1, n - 1):
+            j = i - 1
+            a[j, j] = 2.0 * (h[i - 1] + h[i])
+            if j > 0:
+                a[j, j - 1] = h[i - 1]
+            if j < n - 3:
+                a[j, j + 1] = h[i]
+            rhs[j] = 6.0 * (
+                (p[i + 1] - p[i]) / h[i] - (p[i] - p[i - 1]) / h[i - 1]
+            )
+        m[1:-1] = _np.linalg.solve(a, rhs)
+    coeffs = _np.zeros((n - 1, 4, p.shape[1]))
+    for i in range(n - 1):
+        coeffs[i, 0] = p[i]
+        coeffs[i, 1] = (
+            (p[i + 1] - p[i]) / h[i] - h[i] * (2.0 * m[i] + m[i + 1]) / 6.0
+        )
+        coeffs[i, 2] = m[i] / 2.0
+        coeffs[i, 3] = (m[i + 1] - m[i]) / (6.0 * h[i])
+    return t, coeffs
+
+
+def polynomial_sample(breaks, coeffs, t, derivative: int = 0):
+    """Sample a polynomial-segment trajectory at time(s) ``t``.
+
+    ``breaks`` (N,), ``coeffs`` (N-1, K, D) in the
+    :func:`cubic_spline_coeffs` layout (any polynomial order K).  Works
+    under jit (searchsorted + Horner); ``t`` clamps to the trajectory
+    span, so sampling past the end holds the terminal state.
+    """
+    breaks = jnp.asarray(breaks)
+    coeffs = jnp.asarray(coeffs)
+    t = jnp.clip(jnp.asarray(t), breaks[0], breaks[-1])
+    seg = jnp.clip(
+        jnp.searchsorted(breaks, t, side="right") - 1, 0, coeffs.shape[0] - 1
+    )
+    tau = t - breaks[seg]
+    k = coeffs.shape[1]
+    c = coeffs[seg]                                  # (..., K, D)
+    # derivative-d coefficients: c_k * k!/(k-d)! on tau^(k-d)
+    out = jnp.zeros_like(c[..., 0, :])
+    for j in range(k - 1, derivative - 1, -1):
+        fact = 1.0
+        for d in range(derivative):
+            fact *= (j - d)
+        out = out * tau[..., None] + fact * c[..., j, :]
+    return out

@@ -143,3 +143,13 @@ def test_mapped_flight_esdf_mode(capsys):
     assert r["reached"] is True
     assert r["collided"] is False
     assert r["min_clearance_m"] > 0.1
+
+
+def test_waypoint_file_smooth_polynomial(capsys):
+    """Polynomial-trajectory mode (mav_planning_msgs capability): the C2
+    spline through the waypoints tracked with vel+acc+yaw feed-forward
+    stays within 0.2 m everywhere and hits every knot."""
+    r = run_cli(capsys, ["waypoint-file", "--smooth"])
+    assert r["passed"] is True
+    assert r["track_rms_m"] < 0.05
+    assert r["max_end_err_m"] < 0.05

@@ -156,3 +156,51 @@ def test_lee_yaw_step_damped():
     assert abs(float(ang[0]) - np.pi / 4) < 0.06
     assert float(jnp.linalg.norm(pf.pos - jnp.asarray([0, 0, 2.0]))) < 0.5
     assert float(jnp.abs(pf.omega[2])) < 0.1
+
+
+def test_cubic_spline_polynomial_trajectory():
+    """Polynomial-trajectory capability (mav_planning_msgs analog): the
+    natural cubic spline interpolates knots exactly, is C1/C2 at interior
+    knots, and polynomial_sample's derivatives match finite differences."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.utils.trajectory import (
+        cubic_spline_coeffs, polynomial_sample,
+    )
+
+    times = np.array([0.0, 1.0, 2.5, 4.0])
+    pts = np.array([[0, 0, 2], [1, 0.5, 2.5], [2, -0.5, 2], [3, 0, 2.2]],
+                   float)
+    breaks, coeffs = cubic_spline_coeffs(times, pts)
+
+    # interpolates knots
+    for t, p in zip(times, pts):
+        np.testing.assert_allclose(
+            np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(t))),
+            p, atol=1e-5,
+        )
+    # C1/C2 at interior knots
+    for t in times[1:-1]:
+        for d in (1, 2):
+            lo = polynomial_sample(breaks, coeffs, jnp.asarray(t - 1e-4), d)
+            hi = polynomial_sample(breaks, coeffs, jnp.asarray(t + 1e-4), d)
+            np.testing.assert_allclose(np.asarray(lo), np.asarray(hi),
+                                       atol=5e-3)
+    # derivatives vs finite differences
+    t0 = 1.7
+    eps = 1e-3
+    p_m = np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(t0 - eps)))
+    p_p = np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(t0 + eps)))
+    v = np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(t0), 1))
+    np.testing.assert_allclose(v, (p_p - p_m) / (2 * eps), atol=1e-3)
+    # clamps beyond the span
+    np.testing.assert_allclose(
+        np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(99.0))),
+        pts[-1], atol=1e-5,
+    )
+    # natural ends: zero second derivative
+    np.testing.assert_allclose(
+        np.asarray(polynomial_sample(breaks, coeffs, jnp.asarray(0.0), 2)),
+        0.0, atol=1e-5,
+    )
