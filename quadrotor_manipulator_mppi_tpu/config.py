@@ -80,6 +80,26 @@ def _build_schedule(spec: dict):
     return factory(**{k: v for k, v in spec.items() if k != "kind"})
 
 
+def _round3_classes():
+    """Round-3 subsystem configs (imported lazily to keep config.py's
+    import surface light; sigma_scale_fn lambdas without a declarative
+    ``__qmm_schedule__`` tag do not round-trip — the shipped presets all
+    use tagged schedules)."""
+    from .models.fixed_wing import FwAeroParams, FwVehicleParams, LiftDragParams
+    from .sim.depth_camera import DepthCameraParams
+    from .sim.mapped_loop import MappedFlightConfig
+    from .sim.occupancy import OccupancyParams
+    from .sim.sensors import LidarParams
+    from .solver.fixed_wing import FwMPPIParams
+    from .solver.mapped import MappedMPPIParams
+
+    return (
+        FwAeroParams, FwVehicleParams, LiftDragParams, DepthCameraParams,
+        MappedFlightConfig, OccupancyParams, LidarParams, FwMPPIParams,
+        MappedMPPIParams,
+    )
+
+
 _REGISTRY = {
     cls.__name__: cls
     for cls in (
@@ -87,6 +107,7 @@ _REGISTRY = {
         WholeBodyMPPIParams, FlightGains,
     )
 }
+_REGISTRY.update({cls.__name__: cls for cls in _round3_classes()})
 
 
 def register(cls):
@@ -112,7 +133,9 @@ def from_dict(data: Any) -> Any:
             # Dataclass tuple fields arrive as lists; coerce.
             for f in dataclasses.fields(cls):
                 if f.name in kwargs and isinstance(kwargs[f.name], list):
-                    if f.type in ("tuple", tuple) or "tuple" in str(f.type):
+                    if f.type in ("tuple", tuple) or (
+                        "tuple" in str(f.type).lower()  # typing.Tuple too
+                    ):
                         kwargs[f.name] = tuple(
                             tuple(x) if isinstance(x, list) else x
                             for x in kwargs[f.name]

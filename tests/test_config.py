@@ -59,3 +59,26 @@ def test_loaded_config_builds_solver(tmp_path):
     step, init = wbs.make_whole_body_solver(back.solver)
     out, _ = step(init(jax.random.key(back.seed)), wbs.default_obs())
     assert out.action.shape == (wbs.N_ACTIONS,)
+
+
+def test_round3_configs_round_trip(tmp_path):
+    """The round-3 subsystem configs (fixed-wing, mapping, sensing) are
+    registered and JSON round-trip exactly."""
+    from quadrotor_manipulator_mppi_tpu.config import load_config, save_config
+    from quadrotor_manipulator_mppi_tpu.sim.mapped_loop import (
+        MappedFlightConfig,
+    )
+    from quadrotor_manipulator_mppi_tpu.sim.occupancy import OccupancyParams
+    from quadrotor_manipulator_mppi_tpu.models.fixed_wing import (
+        FwVehicleParams,
+    )
+
+    for cfg in (
+        MappedFlightConfig(margin=0.7),
+        OccupancyParams(resolution=0.2, shape=(10, 12, 6)),
+        FwVehicleParams(mass=3.0),
+    ):
+        p = str(tmp_path / (type(cfg).__name__ + ".json"))
+        save_config(cfg, p)
+        back = load_config(p)
+        assert back == cfg, (cfg, back)

@@ -237,3 +237,28 @@ def test_mapped_flight_on_hardware():
     r = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert r["collided"] is False
     assert r["reached"] is True
+
+
+def test_wrench_mode_stabilized_full_k():
+    """Round-3 wrench stabilizers at flagship K on the real chip: the
+    direct-actuation loop reaches the EE target region and stays upright
+    (fused kernel path with the omat/ohom rate-damping operators)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = wbs.wrench_mode_params(n_samples=4096, n_horizon=50)
+    run = wbl.make_whole_body_episode(params, n_control_steps=400,
+                                      backend="pallas")
+    _, init = wbs.make_whole_body_solver(params, backend="pallas")
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    final, logs = jax.jit(run)(
+        plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
+    )
+    e = np.asarray(logs.ee_err)
+    tilt = np.asarray(logs.tilt)
+    alt = np.asarray(logs.base_pos)[:, 2]
+    assert np.all(np.isfinite(e))
+    assert e.min() < 0.12
+    assert tilt.max() < 0.25
+    assert alt.min() > 1.2
