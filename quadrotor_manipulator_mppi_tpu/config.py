@@ -81,10 +81,11 @@ def _build_schedule(spec: dict):
 
 
 def _round3_classes():
-    """Round-3 subsystem configs (imported lazily to keep config.py's
-    import surface light; sigma_scale_fn lambdas without a declarative
-    ``__qmm_schedule__`` tag do not round-trip — the shipped presets all
-    use tagged schedules)."""
+    """Round-3 subsystem configs.  Grouped in a function only to keep the
+    imports next to the classes they register (they run at module import —
+    config.py imports model/sim/solver modules either way).  Note:
+    sigma_scale_fn lambdas without a declarative ``__qmm_schedule__`` tag
+    do not round-trip — the shipped presets all use tagged schedules."""
     from .models.fixed_wing import FwAeroParams, FwVehicleParams, LiftDragParams
     from .sim.depth_camera import DepthCameraParams
     from .sim.mapped_loop import MappedFlightConfig

@@ -1155,7 +1155,7 @@ def run_waypoint_file(args):
         pos_log, ref_log = np.asarray(pos_log), np.asarray(ref_log)
         err = np.linalg.norm(pos_log - ref_log, axis=-1)
         end_errors = [
-            float(np.linalg.norm(pos_log[int(min(e, total_ticks)) - 1]
+            float(np.linalg.norm(pos_log[max(0, int(min(e, total_ticks)) - 1)]
                                  - positions[i]))
             for i, e in enumerate(ends)
         ]

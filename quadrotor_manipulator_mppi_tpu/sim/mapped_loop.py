@@ -65,6 +65,22 @@ def make_mapped_control_step(
     ((plant, ctrl, solver, grid), (pos, clearance))`` — jit/scan-ready."""
     veh = vehicle or mr.MultirotorParams()
     gains = gains or fc.FlightGains()
+    if params.use_esdf:
+        # ONE source of grid geometry: the field is built from cfg.grid, so
+        # the solver must query with the same params.  Fill an unset
+        # esdf_params automatically; reject a mismatched one (a wrong frame
+        # makes out-of-bounds queries read max_dist — "all clear" — and the
+        # vehicle would plan straight through mapped obstacles).
+        import dataclasses as _dc
+
+        if params.esdf_params is None:
+            params = _dc.replace(params, esdf_params=cfg.grid)
+        elif params.esdf_params != cfg.grid:
+            raise ValueError(
+                "MappedMPPIParams.esdf_params differs from "
+                "MappedFlightConfig.grid — the ESDF would be queried in the "
+                "wrong frame"
+            )
     step, _ = mapped_solver.make_mapped_solver(params)
     lp, op = cfg.lidar, cfg.grid
     dirs_b = sensors.lidar_directions(lp)

@@ -290,13 +290,18 @@ def make_whole_body_episode(
             #     inverted arm exerts a CONSTANT ~18 N*m roll moment; with
             #     the feed-forward, zero sampled torque = level hover, so
             #     the warm-start's decay toward the zero-torque nominal is
-            #     an equilibrium, not a fight (pair with
-            #     couple_arm_gravity=False in the solver model — the net
-            #     dynamics no longer contain tau_g);
+            #     an equilibrium, not a fight.  The pairing is automatic:
+            #     the plant feeds tau_g forward exactly when the solver's
+            #     model does NOT carry the coupling (couple_arm_gravity
+            #     False) — either way, model and plant see the same net
+            #     torque, and legacy couple=True configs keep their
+            #     original physics;
             # (2) with rate_damping, the 1 kHz body-rate feedback
             #     tau -= kd I omega (modeled by step12 /
             #     _base_rollout_parallel with the same kd).
-            tau_cmd = action_cmd[1:4] - tau_g
+            tau_cmd = action_cmd[1:4]
+            if not params.model.couple_arm_gravity:
+                tau_cmd = tau_cmd - tau_g
             if params.model.rate_damping:
                 tau_cmd = tau_cmd - params.model.rate_damping * (
                     inertia * plant.base.omega

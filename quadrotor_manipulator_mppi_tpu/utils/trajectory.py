@@ -104,6 +104,11 @@ def cubic_spline_coeffs(times, points):
     if n < 2:
         raise ValueError("need at least two waypoints")
     h = _np.diff(t)                                   # (N-1,)
+    if _np.any(h <= 0):
+        raise ValueError(
+            "knot times must be strictly increasing (a zero wait_time is "
+            "fine for step setpoints but not for a polynomial trajectory)"
+        )
     # Solve for knot second derivatives M (natural: M_0 = M_{N-1} = 0).
     m = _np.zeros((n, p.shape[1]))
     if n > 2:

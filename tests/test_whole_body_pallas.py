@@ -28,10 +28,10 @@ def _small(params: wb.WholeBodyMPPIParams, k=256, h=16) -> wb.WholeBodyMPPIParam
     )
 
 
-def _run_both(params, n_steps=3):
+def _run_both(params, n_steps=3, obs=None):
     step_xla, init = wb.make_whole_body_solver(params)
     step_fused = make_whole_body_pallas_step(params, use_prng=False, interpret=True)
-    obs = wb.default_obs()
+    obs = wb.default_obs() if obs is None else obs
     st_x = init(jax.random.key(7))
     st_f = init(jax.random.key(7))
     for _ in range(n_steps):
@@ -166,17 +166,27 @@ def test_drag_kd_matches_xla_wrench_and_attitude():
 def test_rate_damping_matches_xla_wrench():
     """rate_damping > 0 in the fused kernel (round 3 wrench stabilizer):
     the omega decay operator (omat) and the ohom initial-rate column must
-    track the XLA parallel-in-time rollout."""
+    track the XLA parallel-in-time rollout — from a NONZERO initial body
+    rate, otherwise the sc[OM0]*ohom homogeneous term is identically zero
+    and an ohom off-by-one would pass unnoticed."""
     p = _wrench_params(h=12)
     p = dataclasses.replace(
         p, model=dataclasses.replace(p.model, rate_damping=12.0)
     )
-    _run_both(p)
+    obs0 = wb.default_obs()
+    obs = obs0._replace(
+        state=obs0.state._replace(
+            base=obs0.state.base._replace(
+                omega=jnp.asarray([0.5, -0.4, 0.3])
+            )
+        )
+    )
+    _run_both(p, obs=obs)
     # and combined with drag
     p2 = dataclasses.replace(
         p, model=dataclasses.replace(p.model, drag_kd=0.5)
     )
-    _run_both(p2)
+    _run_both(p2, obs=obs)
 
 
 def test_wrench_mode_params_preset_matches_xla():
