@@ -465,3 +465,46 @@ def liftdrag_wrench(
     )
     torque = jnp.cross(cp_world, force) + jnp.where(active, moment, 0.0)
     return force, torque
+
+
+def aero_params_from_yaml(path: str) -> FwAeroParams:
+    """Load aerodynamic coefficients from a RotorS fixed-wing YAML
+    (``resource/fixed_wing/aero_params_techpod.yaml`` format — flat keys
+    matching the FwAeroParams field names, vectors as lists; the
+    ``fw_parameters.h:180-212`` LoadAeroParamsYAML reader).  Unknown keys
+    are ignored, absent keys keep the Techpod defaults."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    fields = {f.name for f in dataclasses.fields(FwAeroParams)}
+    kwargs = {}
+    for k, v in data.items():
+        if k in fields:
+            kwargs[k] = tuple(v) if isinstance(v, (list, tuple)) else float(v)
+    return FwAeroParams(**kwargs)
+
+
+def vehicle_params_from_yaml(path: str) -> FwVehicleParams:
+    """Load airframe geometry from a RotorS fixed-wing vehicle YAML
+    (``resource/fixed_wing/techpod.yaml`` format).  Control-surface
+    sub-maps carry per-surface deflection limits; this model uses one
+    symmetric limit, taken from the first surface entry found
+    (the Techpod's are all +-20 deg).  Mass/inertia are not part of the
+    reference YAML (Gazebo's link carries them) and keep the defaults."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    kwargs = {}
+    for k in ("wing_span", "wing_surface", "chord_length",
+              "thrust_inclination"):
+        if k in data:
+            kwargs[k] = float(data[k])
+    for surface in ("aileron_left", "aileron_right", "elevator", "flap",
+                    "rudder"):
+        sub = data.get(surface)
+        if isinstance(sub, dict) and "deflection_max" in sub:
+            kwargs["deflection_limit"] = abs(float(sub["deflection_max"]))
+            break
+    return FwVehicleParams(**kwargs)

@@ -226,3 +226,34 @@ def test_liftdrag_radial_symmetry_runs():
     vel = jnp.asarray([3.0, 0.0, -4.0])
     f, _ = fw.liftdrag_wrench(p, jnp.eye(3), vel)
     assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_yaml_param_loaders(tmp_path):
+    """RotorS fixed-wing YAML format (fw_parameters.h LoadAeroParamsYAML /
+    LoadVehicleParamsYAML): flat coefficient vectors + per-surface
+    deflection maps."""
+    aero_f = tmp_path / "aero.yaml"
+    aero_f.write_text(
+        "alpha_max: 0.3\n"
+        "c_lift_alpha: [0.2, 11.0, -40.0, 55.0]\n"
+        "c_thrust: [0.0, 12.5, 0.0]\n"
+        "not_a_field: 7\n"
+    )
+    aero = fw.aero_params_from_yaml(str(aero_f))
+    assert aero.alpha_max == 0.3
+    assert aero.c_lift_alpha == (0.2, 11.0, -40.0, 55.0)
+    assert aero.c_thrust == (0.0, 12.5, 0.0)
+    # untouched fields keep Techpod defaults
+    assert aero.c_drag_alpha == fw.FwAeroParams().c_drag_alpha
+
+    veh_f = tmp_path / "veh.yaml"
+    veh_f.write_text(
+        "wing_span: 2.0\nwing_surface: 0.4\nchord_length: 0.15\n"
+        "thrust_inclination: 0.05\n"
+        "aileron_left:\n  channel: 4\n  deflection_min: -0.3\n"
+        "  deflection_max: 0.3\n"
+    )
+    veh = fw.vehicle_params_from_yaml(str(veh_f))
+    assert veh.wing_span == 2.0
+    assert veh.deflection_limit == 0.3
+    assert veh.mass == fw.FwVehicleParams().mass  # not in the YAML
