@@ -231,6 +231,137 @@ def forward_dynamics(
     )
 
 
+class FrozenArmCoeffs(NamedTuple):
+    """Per-configuration dynamics coefficients for the 1 kHz substep loop.
+
+    At a *fixed* joint configuration q (and zero base spatial motion), the
+    RNEA torque decomposes EXACTLY as
+
+        tau(q, qd, 0; a0) = G_tau(q) a0  +  qd^T C_tau(q) qd
+
+    where ``a0 = R_base^T (0, 0, +g)`` is the fictitious base acceleration
+    that :func:`rnea` uses to realize gravity: the forward pass propagates
+    ``a0`` linearly and the velocity products quadratically, with no cross
+    terms, and the backward pass is linear in the link forces.  The same
+    decomposition holds for the root reaction wrench.  Freezing q over one
+    control period (the same approximation already accepted for the mass
+    matrix — M(q) drifts O(|qd| dt) ~ 1e-3 relative in 10 ms) therefore
+    turns each physics substep's arm dynamics (one full RNEA pass, hundreds
+    of tiny sequential ops) into three einsums.  All coefficients come from
+    ONE batched RNEA evaluation per control period
+    (:func:`frozen_arm_coeffs`), which XLA fuses into a single program no
+    slower than an unbatched pass.
+
+    Replaces the per-substep ``pin.computeAllTerms`` role of the reference
+    (``kinova.py:126``) on the serving path; the exact per-substep RNEA
+    remains the default plant physics.
+    """
+
+    g_tau: Array   # (J, 3):   gravity torque = g_tau @ a0
+    c_tau: Array   # (J, J, J) Coriolis/centrifugal tensor (torques)
+    g_n: Array     # (3, 3):   root reaction moment (gravity part) = g_n @ a0
+    c_n: Array     # (3, J, J) root moment velocity part
+    g_f: Array     # (3, 3):   root reaction force (gravity part)
+    c_f: Array     # (3, J, J)
+    mass: Array    # (J, J)    M(q)
+    chol: Array    # (J, J)    cholesky(M)
+
+
+def frozen_arm_coeffs(
+    spec: ChainSpec, params: InertialParams, q: Array
+) -> FrozenArmCoeffs:
+    """Extract the exact (gravity-linear, velocity-quadratic) coefficients
+    of the chain dynamics at configuration q with one batched RNEA.
+
+    The quadratic part is recovered by polarization over the joint-velocity
+    basis: with ``h(qd) = rnea(q, qd, 0, gravity=0)``,
+    ``C[:, j, k] = (h(e_j + e_k) - h(e_j) - h(e_k)) / 2``.
+    """
+    dtype = q.dtype
+    j_n = spec.n_joints
+    eye = jnp.eye(j_n, dtype=dtype)
+    zeros_j = jnp.zeros(j_n, dtype)
+    zeros_3 = jnp.zeros(3, dtype)
+
+    def probe(qd, qdd, a0):
+        tau, w = rnea(
+            spec, params, q, qd, qdd, gravity=0.0,
+            base_acc=SpatialVel(ang=zeros_3, lin=a0),
+        )
+        return tau, w.ang, w.lin
+
+    # One batched evaluation: J^2 velocity pairs + J singles + 3 gravity
+    # directions + J mass-matrix columns.
+    pair_qd = eye[:, None, :] + eye[None, :, :]          # (J, J, J)
+    qd_b = jnp.concatenate([
+        pair_qd.reshape(j_n * j_n, j_n), eye,
+        jnp.zeros((3 + j_n, j_n), dtype),
+    ])
+    qdd_b = jnp.concatenate([
+        jnp.zeros((j_n * j_n + j_n + 3, j_n), dtype), eye,
+    ])
+    a0_b = jnp.concatenate([
+        jnp.zeros((j_n * j_n + j_n, 3), dtype), jnp.eye(3, dtype=dtype),
+        jnp.zeros((j_n, 3), dtype),
+    ])
+    tau_b, n_b, f_b = jax.vmap(probe)(qd_b, qdd_b, a0_b)
+
+    n_pair = j_n * j_n
+    h_pair = (tau_b[:n_pair], n_b[:n_pair], f_b[:n_pair])
+    sl_single = slice(n_pair, n_pair + j_n)
+    h_single = (tau_b[sl_single], n_b[sl_single], f_b[sl_single])
+    sl_grav = slice(n_pair + j_n, n_pair + j_n + 3)
+    g_tau, g_n, g_f = tau_b[sl_grav].T, n_b[sl_grav].T, f_b[sl_grav].T
+    mass = tau_b[n_pair + j_n + 3:].T                    # (J, J) symmetric
+
+    def polarize(pair, single):
+        p = pair.reshape(j_n, j_n, -1)                   # (J, J, dim)
+        s = single                                       # (J, dim)
+        c = 0.5 * (p - s[:, None, :] - s[None, :, :])
+        return jnp.moveaxis(c, -1, 0)                    # (dim, J, J)
+
+    c_tau, c_n, c_f = (polarize(p, s) for p, s in zip(h_pair, h_single))
+    return FrozenArmCoeffs(
+        g_tau=g_tau, c_tau=c_tau, g_n=g_n, c_n=c_n, g_f=g_f, c_f=c_f,
+        mass=mass, chol=jnp.linalg.cholesky(mass),
+    )
+
+
+def gravity_accel(base_rot: Optional[Array], dtype, gravity: float = GRAVITY) -> Array:
+    """The fictitious base acceleration a0 = R^T (0, 0, +g) that frozen
+    coefficients contract against (identical to :func:`rnea`'s internal
+    gravity handling)."""
+    g_world = jnp.asarray([0.0, 0.0, gravity], dtype)
+    if base_rot is None:
+        return g_world
+    return jnp.einsum("...ji,j->...i", base_rot, g_world)
+
+
+def frozen_nle(co: FrozenArmCoeffs, a0: Array, qd: Array) -> Array:
+    """C(q, qd)qd + g(q) from frozen coefficients — three einsums."""
+    return co.g_tau @ a0 + jnp.einsum("ijk,...j,...k->...i", co.c_tau, qd, qd)
+
+
+def frozen_forward_dynamics(
+    co: FrozenArmCoeffs, a0: Array, qd: Array, tau: Array
+) -> Array:
+    """qdd = M^-1 (tau - nle) with every q-dependent quantity frozen."""
+    rhs = (tau - frozen_nle(co, a0, qd))[..., None]
+    y = jax.scipy.linalg.solve_triangular(co.chol, rhs, lower=True)
+    qdd = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(co.chol, -1, -2), y, lower=False
+    )
+    return qdd[..., 0]
+
+
+def frozen_gravity_torque_on_base(co: FrozenArmCoeffs, a0: Array) -> Array:
+    """Arm gravity *moment* on the base (base frame) from frozen
+    coefficients — the quasi-static tau_g of
+    :func:`~.whole_body.arm_gravity_torque_fast` (reaction = minus the root
+    wrench the mount must apply, hence the sign)."""
+    return -(co.g_n @ a0)
+
+
 def forward_dynamics_chol(
     spec: ChainSpec,
     params: InertialParams,

@@ -103,6 +103,17 @@ class WholeBodyLoopConfig:
     # Off by default (bit-identical legacy physics); the episode benchmark
     # turns it on.
     mass_matrix_per_control: bool = False
+    # The serving-path arm dynamics: freeze ALL q-dependent dynamics
+    # coefficients once per control period (``rigid_body.frozen_arm_coeffs``
+    # — one batched RNEA), then evaluate each 1 kHz substep's forward
+    # dynamics and base gravity-moment coupling as einsum contractions
+    # (gravity-linear + velocity-quadratic decomposition, exact at the
+    # frozen q).  Same approximation class as mass_matrix_per_control
+    # (coefficients drift O(|qdot| dt_control) ~ 1e-3 relative in 10 ms;
+    # parity-tested against the per-substep RNEA path) at a fraction of
+    # the per-substep op count — the round-4 episode-throughput win.
+    # Implies mass_matrix_per_control.
+    arm_coeffs_per_control: bool = False
     # lax.scan unroll factor for the 1 kHz substep loop.  The substep body
     # is hundreds of tiny (3,3)-sized ops (unrolled RNEA); unrolling lets
     # XLA fuse across substeps and hide per-op latency.  Trades compile
@@ -170,6 +181,7 @@ def make_whole_body_episode(
     gripper_closed: bool = False,
     backend: str = "xla",
     contact: "Optional[object]" = None,
+    low_k_guard: str = "warn",
 ):
     """Returns run((plant, solver_state, obs_targets)) -> (final, logs).
 
@@ -212,7 +224,9 @@ def make_whole_body_episode(
         com[-1] = com[-1] * (m7 / (m7 + mp))
         m[-1] = m7 + mp
         inertials = _dc.replace(inertials, mass=m, com=com)
-    step, _ = wbs.make_whole_body_solver(params, backend=backend)
+    step, _ = wbs.make_whole_body_solver(
+        params, backend=backend, low_k_guard=low_k_guard
+    )
 
     mode = params.model.control_mode
     inertia = jnp.asarray(vehicle.inertia, jnp.float32)
@@ -224,23 +238,38 @@ def make_whole_body_episode(
     )
 
     def physics_tick(carry, _):
-        plant, action_cmd, tau_arm_pd, ext_wrench_b, m_chol = carry
-        base_rot = rot.quat_to_matrix(plant.base.quat)
+        plant, action_cmd, tau_arm_pd, ext_wrench_b, dyn = carry
 
         # Arm dynamics under the tilted-gravity field, with hard joint
         # stops: q clamps at the URDF limits and the velocity component
         # driving into a stop zeroes (inelastic stop — matches how Gazebo's
         # joint limits catch the reference arm).
-        if cfg.mass_matrix_per_control:
-            qdd = rb.forward_dynamics_chol(
-                spec, inertials, plant.q, plant.qdot, tau_arm_pd, m_chol,
-                base_rot=base_rot,
-            )
+        if cfg.arm_coeffs_per_control:
+            # Frozen-coefficient fast path: the only live attitude input is
+            # a0 = R^T (0, 0, g) = g * (third row of R), read straight off
+            # the quaternion — no 3x3 matrix, no RNEA.
+            w, x, y, z = plant.base.quat
+            a0 = 9.81 * jnp.stack([
+                2.0 * (x * z - w * y),
+                2.0 * (y * z + w * x),
+                1.0 - 2.0 * (x * x + y * y),
+            ])
+            qdd = rb.frozen_forward_dynamics(dyn, a0, plant.qdot, tau_arm_pd)
+            tau_g = rb.frozen_gravity_torque_on_base(dyn, a0)
         else:
-            qdd = rb.forward_dynamics(
-                spec, inertials, plant.q, plant.qdot, tau_arm_pd,
-                base_rot=base_rot,
-            )
+            base_rot = rot.quat_to_matrix(plant.base.quat)
+            if cfg.mass_matrix_per_control:
+                qdd = rb.forward_dynamics_chol(
+                    spec, inertials, plant.q, plant.qdot, tau_arm_pd, dyn,
+                    base_rot=base_rot,
+                )
+            else:
+                qdd = rb.forward_dynamics(
+                    spec, inertials, plant.q, plant.qdot, tau_arm_pd,
+                    base_rot=base_rot,
+                )
+            # Arm gravity moment on the base (quasi-static reaction).
+            tau_g = arm_gravity_torque_fast(spec, inertials, plant.q, base_rot)
         qdot = plant.qdot + qdd * cfg.physics_dt
         q_raw = plant.q + qdot * cfg.physics_dt
         q_lo = jnp.asarray(spec.lower, q_raw.dtype)
@@ -248,9 +277,6 @@ def make_whole_body_episode(
         q = jnp.clip(q_raw, q_lo, q_hi)
         at_stop = (q_raw < q_lo) | (q_raw > q_hi)
         qdot = jnp.where(at_stop, 0.0, qdot)
-
-        # Arm gravity moment on the base (quasi-static reaction).
-        tau_g = arm_gravity_torque_fast(spec, inertials, plant.q, base_rot)
         ctrl = plant.ctrl
 
         if mode == "attitude":
@@ -317,7 +343,7 @@ def make_whole_body_episode(
             ),
         )
         nxt = WholeBodyPlant(base=base, q=q, qdot=qdot, ctrl=ctrl)
-        return (nxt, action_cmd, tau_arm_pd, ext_wrench_b, m_chol), None
+        return (nxt, action_cmd, tau_arm_pd, ext_wrench_b, dyn), None
 
     tube_radius = (
         cfg.tube_radius if cfg.tube_radius is not None
@@ -368,11 +394,20 @@ def make_whole_body_episode(
         )
 
         # Arm torque: track the MPPI setpoint (reference phase-2 law).
-        m = rb.mass_matrix(spec, inertials, plant.q)
         base_rot = rot.quat_to_matrix(plant.base.quat)
-        nle = rb.nonlinear_effects(
-            spec, inertials, plant.q, plant.qdot, base_rot=base_rot
-        )
+        if cfg.arm_coeffs_per_control:
+            # One batched RNEA yields every dynamics coefficient the whole
+            # control period needs; nle here is EXACT (coefficients are
+            # taken at this very q).
+            dyn = rb.frozen_arm_coeffs(spec, inertials, plant.q)
+            m = dyn.mass
+            a0_now = rb.gravity_accel(base_rot, plant.q.dtype)
+            nle = rb.frozen_nle(dyn, a0_now, plant.qdot)
+        else:
+            m = rb.mass_matrix(spec, inertials, plant.q)
+            nle = rb.nonlinear_effects(
+                spec, inertials, plant.q, plant.qdot, base_rot=base_rot
+            )
         tau_arm = m @ (
             cfg.track_kp * (qdes - plant.q) - cfg.track_kd * plant.qdot
         ) + nle
@@ -449,30 +484,25 @@ def make_whole_body_episode(
             )(plant.q)
             tau_arm = jnp.clip(tau_arm + j_ee.T @ reaction_w, -effort, effort)
 
-        if cfg.mass_matrix_per_control:
-            m_chol = jnp.linalg.cholesky(
-                rb.mass_matrix(spec, inertials, plant.q)
-            )
+        if cfg.arm_coeffs_per_control:
+            pass  # dyn already holds the frozen coefficients (incl. chol)
+        elif cfg.mass_matrix_per_control:
+            dyn = jnp.linalg.cholesky(m)
         else:  # unused dummy; the tick traces the per-substep M path
-            m_chol = jnp.zeros(
-                (spec.n_joints, spec.n_joints), plant.q.dtype
-            )
+            dyn = jnp.zeros((spec.n_joints, spec.n_joints), plant.q.dtype)
         (plant, _, _, _, _), _ = jax.lax.scan(
-            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b, m_chol),
+            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b, dyn),
             None, length=cfg.substeps, unroll=cfg.substep_unroll,
         )
 
         # Logs: EE world position error, base state.
         from ..models import chain as chain_mod
 
-        ee_pos, _ = chain_mod.forward_kinematics_posquat(
+        ee_pos, ee_q = chain_mod.forward_kinematics_posquat(
             spec, plant.q, base_pos=plant.base.pos, base_quat=plant.base.quat
         )
         ee_err = jnp.linalg.norm(ee_pos - ee_target.position)
         tilt = jnp.linalg.norm(cl.rpy_of(plant.base)[:2])
-        _, ee_q = chain_mod.forward_kinematics_posquat(
-            spec, plant.q, base_pos=plant.base.pos, base_quat=plant.base.quat
-        )
         qe = rot.quat_multiply(ee_target.quat, rot.quat_conjugate(ee_q))
         ori_err = 2.0 * jnp.arccos(jnp.clip(jnp.abs(qe[0]), 0.0, 1.0))
         cmd_pos, _ = chain_mod.forward_kinematics_posquat(

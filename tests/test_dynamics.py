@@ -165,3 +165,45 @@ def test_base_rotation_tilts_gravity(model):
     g_tilted = rb.gravity_torque(spec, params, q, base_rot=base_rot)
     g_upright = rb.gravity_torque(spec, params, q)
     assert not np.allclose(np.asarray(g_tilted), np.asarray(g_upright), atol=1e-3)
+
+
+def test_frozen_arm_coeffs_exact_at_frozen_q():
+    """At the configuration the coefficients were extracted from, the
+    (gravity-linear + velocity-quadratic) decomposition of the RNEA
+    dynamics is EXACT: nle, forward dynamics, the base gravity moment and
+    the mass matrix all match the direct per-call evaluation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from quadrotor_manipulator_mppi_tpu.models import kinova, rigid_body as rb
+    from quadrotor_manipulator_mppi_tpu.models.whole_body import (
+        arm_gravity_torque_fast,
+    )
+    from quadrotor_manipulator_mppi_tpu.utils import rotations as rot
+
+    spec, inertials = kinova.chain("link_7"), kinova.inertials()
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, 7), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-2, 2, 7), jnp.float32)
+    tau = jnp.asarray(rng.uniform(-5, 5, 7), jnp.float32)
+    quat = jnp.asarray(rng.uniform(-1, 1, 4), jnp.float32)
+    quat = quat / jnp.linalg.norm(quat)
+    base_rot = rot.quat_to_matrix(quat)
+
+    co = rb.frozen_arm_coeffs(spec, inertials, q)
+    a0 = rb.gravity_accel(base_rot, jnp.float32)
+
+    nle_ref = rb.nonlinear_effects(spec, inertials, q, qd, base_rot=base_rot)
+    assert float(jnp.max(jnp.abs(rb.frozen_nle(co, a0, qd) - nle_ref))) < 1e-4
+
+    qdd_ref = rb.forward_dynamics(spec, inertials, q, qd, tau, base_rot=base_rot)
+    qdd_f = rb.frozen_forward_dynamics(co, a0, qd, tau)
+    scale = float(jnp.max(jnp.abs(qdd_ref))) + 1.0
+    assert float(jnp.max(jnp.abs(qdd_f - qdd_ref))) / scale < 1e-5
+
+    tg_ref = arm_gravity_torque_fast(spec, inertials, q, base_rot)
+    tg_f = rb.frozen_gravity_torque_on_base(co, a0)
+    assert float(jnp.max(jnp.abs(tg_f - tg_ref))) < 1e-4
+
+    m_ref = rb.mass_matrix(spec, inertials, q)
+    assert float(jnp.max(jnp.abs(co.mass - m_ref))) < 1e-5

@@ -180,14 +180,13 @@ def test_attitude_low_k_divergence_characterization():
     asymmetric rotor-lag rectification, and the loop never settles at the
     reach gate the K=2048 run holds.  If this starts PASSING the gate, the
     floor moved — update ATTITUDE_MIN_SAMPLES and the docs."""
-    import warnings
-
     params = small_params(k=256)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # the guard fires, intentionally
-        run = wbl.make_whole_body_episode(params, n_control_steps=300)
-        plant = wbl.init_plant(params.model.vehicle)
-        _, init = wbs.make_whole_body_solver(params, low_k_guard="off")
+    run = wbl.make_whole_body_episode(
+        params, n_control_steps=300,
+        low_k_guard="off",  # this test exists to measure the divergence
+    )
+    plant = wbl.init_plant(params.model.vehicle)
+    _, init = wbs.make_whole_body_solver(params, low_k_guard="off")
     obs0 = wbs.default_obs()
     _, logs = jax.jit(run)(
         plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
@@ -218,6 +217,45 @@ def test_mass_matrix_per_control_parity():
     )
     run_fast = wbl.make_whole_body_episode(
         cfg=wbl.WholeBodyLoopConfig(mass_matrix_per_control=True), **common
+    )
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    solver = init(jax.random.key(0))
+    obs = wbs.default_obs()
+
+    pf_ref, log_ref = jax.jit(run_ref)(
+        plant, solver, obs.ee_target, obs.base_target
+    )
+    pf_fast, log_fast = jax.jit(run_fast)(
+        plant, solver, obs.ee_target, obs.base_target
+    )
+    err = np.max(np.abs(np.asarray(log_ref.ee_err) - np.asarray(log_fast.ee_err)))
+    assert err < 5e-3, err
+    base_dev = np.max(
+        np.abs(np.asarray(pf_ref[0].base.pos) - np.asarray(pf_fast[0].base.pos))
+    )
+    assert base_dev < 5e-3, base_dev
+
+
+def test_frozen_arm_coeffs_episode_parity():
+    """The frozen-coefficient serving path (all q-dependent dynamics
+    coefficients hoisted to once per control period,
+    ``WholeBodyLoopConfig.arm_coeffs_per_control``) must track the exact
+    per-substep-RNEA episode to the same tolerance as the hoisted-M option
+    — the decomposition is exact at the frozen q, so the only divergence
+    source is the within-period coefficient drift."""
+    import jax
+
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+
+    params = wbs.position_mode_params(n_samples=128, n_horizon=20)
+    common = dict(params=params, n_control_steps=40)
+    run_ref = wbl.make_whole_body_episode(
+        cfg=wbl.WholeBodyLoopConfig(), **common
+    )
+    run_fast = wbl.make_whole_body_episode(
+        cfg=wbl.WholeBodyLoopConfig(arm_coeffs_per_control=True), **common
     )
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
