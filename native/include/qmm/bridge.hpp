@@ -41,6 +41,10 @@ enum class MsgType : uint32_t {
   kMonitor = 14,        // 0 floats: dashboard poll
   kTelemetry = 15,      // 35 floats: robot_states(27) + drone_target(3) +
                         //            ee_target(3) + [land, gripper_cmd]
+  // Camera-frame streaming (gst-camera plugin analog,
+  // rotors_gazebo_plugins/src/external/gazebo_gst_camera_plugin.cpp):
+  kImage = 16,          // [seq, t, height, width, channels, pixels...]
+  kImageReq = 17,       // 0 floats: poll the latest stored frame
 };
 
 struct Frame {

@@ -12,8 +12,11 @@
 //   w/s a/d: +-x/+-y      r/f: up/down    q/e: yaw    l: land
 //   g/G: gripper close/open               x: quit
 //
-// Usage: qmm_dashboard [host] [port] [--once]  (--once: one poll, plain
-// print, no raw terminal — used by the test suite).
+// Usage: qmm_dashboard [host] [port] [--once] [--camera]
+//   --once:   one poll, plain print, no raw terminal (test suite)
+//   --camera: also poll the latest camera frame (kImageReq) and render
+//             it as ASCII depth art under the telemetry block (the
+//             gst-camera plugin's viewer-side analog).
 
 #include <poll.h>
 #include <termios.h>
@@ -72,15 +75,52 @@ void Render(const std::vector<float>& t, bool once) {
   std::fflush(stdout);
 }
 
+// Depth frame -> terminal glyph art (near = dense glyph, far/invalid =
+// blank); mirrors bridge/camera.py ascii_depth.
+void RenderCamera(const std::vector<float>& p) {
+  static const char kRamp[] = " .:-=+*#%@";
+  if (p.size() < 5) {
+    std::printf("[camera: no frame yet]\n");
+    return;
+  }
+  const int h = int(p[2]), w = int(p[3]), c = int(p[4]);
+  if (h <= 0 || w <= 0 || c <= 0 || p.size() < size_t(5 + h * w * c)) return;
+  const int sx = w > 64 ? w / 64 : 1;
+  const int sy = 2 * sx;
+  float maxd = 1e-6f;
+  for (int i = 0; i < h * w; ++i) {
+    const float v = p[5 + i * c];
+    if (std::isfinite(v) && v > maxd) maxd = v;
+  }
+  std::printf("camera %dx%d (seq %d, t %.2f)\n", w, h, int(p[0]), p[1]);
+  for (int y = 0; y < h; y += sy) {
+    for (int x = 0; x < w; x += sx) {
+      const float v = p[5 + (y * w + x) * c];
+      int idx = 0;
+      if (std::isfinite(v)) {
+        float norm = 1.0f - v / maxd;
+        if (norm < 0.0f) norm = 0.0f;
+        if (norm > 1.0f) norm = 1.0f;
+        idx = int(norm * (sizeof(kRamp) - 2));
+      }
+      std::putchar(kRamp[idx]);
+    }
+    std::putchar('\n');
+  }
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   std::string host = "127.0.0.1";
   int port = 17771;
   bool once = false;
+  bool camera = false;
   for (int i = 1; i < argc; ++i) {
     if (std::strcmp(argv[i], "--once") == 0) {
       once = true;
+    } else if (std::strcmp(argv[i], "--camera") == 0) {
+      camera = true;
     } else if (i == 1) {
       host = argv[i];
     } else if (i == 2) {
@@ -104,6 +144,12 @@ int main(int argc, char** argv) {
     qmm::Frame f;
     if (!client.Recv(&f)) return once ? 1 : 0;
     if (f.type == qmm::MsgType::kTelemetry) Render(f.payload, once);
+    if (camera) {
+      client.Send({qmm::MsgType::kImageReq, {}});
+      qmm::Frame img;
+      if (client.Recv(&img) && img.type == qmm::MsgType::kImage)
+        RenderCamera(img.payload);
+    }
     if (once) return f.type == qmm::MsgType::kTelemetry ? 0 : 1;
 
     // Poll the keyboard for ~100 ms between telemetry frames.

@@ -45,6 +45,14 @@ class MsgType(IntEnum):
     # [land flag, gripper_cmd]).
     MONITOR = 14
     TELEMETRY = 15
+    # Camera-frame streaming (the gst-camera plugin analog,
+    # rotors_gazebo_plugins/src/external/gazebo_gst_camera_plugin.cpp — that
+    # plugin pushes RGB frames into an H.264/RTP/UDP pipeline; here frames
+    # ride the QMM bridge as float payloads): IMAGE pushes
+    # [seq, t, height, width, channels, pixels...], IMAGE_REQ polls the
+    # latest stored frame (dashboard camera view).
+    IMAGE = 16
+    IMAGE_REQ = 17
 
 
 @dataclass
@@ -112,3 +120,44 @@ def split_robot_states(payload: List[float]) -> Tuple[list, list, list, list, li
     base_v = payload[14:20]
     qd = payload[20:27]
     return base_pos, base_quat_xyzw, q, base_v, qd
+
+
+def encode_image(image, seq: int = 0, t: float = 0.0) -> Frame:
+    """Pack an (H, W) or (H, W, C) image into an IMAGE frame.
+
+    Layout: ``[seq, t, height, width, channels, pixels row-major]``.  Depth
+    images stream their raw float meters (NaN bad points survive the trip);
+    the ~12 KB of a 64x48 depth frame is well inside the decoder's frame
+    cap.
+    """
+    import numpy as np
+
+    arr = np.asarray(image, np.float32)
+    if arr.ndim == 2:
+        h, w, c = arr.shape[0], arr.shape[1], 1
+    elif arr.ndim == 3:
+        h, w, c = arr.shape
+    else:
+        raise ValueError(f"image must be 2-D or 3-D, got shape {arr.shape}")
+    header = [float(seq), float(t), float(h), float(w), float(c)]
+    return Frame(MsgType.IMAGE, header + [float(v) for v in arr.reshape(-1)])
+
+
+def decode_image(frame: Frame):
+    """IMAGE frame -> ``(image ndarray, meta dict)``; None for the empty
+    placeholder a server returns before any frame arrived."""
+    import numpy as np
+
+    if frame.type != MsgType.IMAGE:
+        raise ValueError(f"not an IMAGE frame: {frame.type}")
+    if not frame.payload:
+        return None, {}
+    seq, t, h, w, c = frame.payload[:5]
+    h, w, c = int(h), int(w), int(c)
+    pixels = np.asarray(frame.payload[5:], np.float32)
+    if pixels.size != h * w * c:
+        raise ValueError(
+            f"IMAGE payload mismatch: {pixels.size} pixels for {h}x{w}x{c}"
+        )
+    img = pixels.reshape((h, w) if c == 1 else (h, w, c))
+    return img, {"seq": int(seq), "t": float(t)}

@@ -360,5 +360,16 @@ class BridgeServer:
                         with self._session_lock:
                             tele = session.telemetry()
                         conn.sendall(proto.encode(tele))
+                    elif frame.type == proto.MsgType.IMAGE:
+                        # Camera stream (gst-plugin analog): keep the latest
+                        # frame on the shared session for dashboard polls.
+                        with self._session_lock:
+                            session.latest_image = frame.payload
+                    elif frame.type == proto.MsgType.IMAGE_REQ:
+                        with self._session_lock:
+                            img = getattr(session, "latest_image", [])
+                        conn.sendall(proto.encode(
+                            proto.Frame(proto.MsgType.IMAGE, img)
+                        ))
                     elif frame.type == proto.MsgType.PING:
                         conn.sendall(proto.encode(proto.Frame(proto.MsgType.PING, [])))
