@@ -97,6 +97,7 @@ def collect_whole_body(
     n_solves: int = 20,
     seed: int = 0,
     params=None,
+    low_k_guard: str = "warn",
 ) -> TrajectoryRecorder:
     """Ready-made collector for the flagship solver: perturbed hover states
     -> whole-body plans.  Columns: base state (12), arm q/qdot (7+7),
@@ -109,7 +110,7 @@ def collect_whole_body(
     from ..solver import whole_body as wb
 
     params = params or wb.WholeBodyMPPIParams()
-    step, init = wb.make_whole_body_solver(params)
+    step, init = wb.make_whole_body_solver(params, low_k_guard=low_k_guard)
     step = jax.jit(step)
     base_obs = wb.default_obs()
     keys = jax.random.split(jax.random.key(seed), n_solves)

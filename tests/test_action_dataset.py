@@ -131,7 +131,10 @@ def test_collect_whole_body_dataset(tmp_path):
                         dt=0.01, lam=0.1, sigma=wb.default_sigma(),
                         savgol_window=5)
     )
-    rec = ds.collect_whole_body(n_solves=3, seed=1, params=params)
+    rec = ds.collect_whole_body(
+        n_solves=3, seed=1, params=params,
+        low_k_guard="off",  # intentional tiny smoke shape
+    )
     assert len(rec) == 3
     path = str(tmp_path / "wb.npz")
     rec.save(path)

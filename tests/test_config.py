@@ -56,7 +56,9 @@ def test_loaded_config_builds_solver(tmp_path):
     path = str(tmp_path / "exp.json")
     cfg_mod.save_config(cfg, path)
     back = cfg_mod.load_config(path)
-    step, init = wbs.make_whole_body_solver(back.solver)
+    step, init = wbs.make_whole_body_solver(
+        back.solver, low_k_guard="off"  # intentional tiny smoke shape
+    )
     out, _ = step(init(jax.random.key(back.seed)), wbs.default_obs())
     assert out.action.shape == (wbs.N_ACTIONS,)
 

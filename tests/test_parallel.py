@@ -93,7 +93,8 @@ def test_sharded_whole_body_scenario_batch_runs():
         )
     )
     step, init = make_sharded_solver(
-        wb.make_whole_body_solver, mesh, params=params
+        wb.make_whole_body_solver, mesh, params=params,
+        low_k_guard="off",  # intentional tiny shape-validation config
     )
     n_scn = 4
     keys = scenario_keys(jax.random.key(0), n_scn)
@@ -156,10 +157,12 @@ def test_sharded_fused_pallas_matches_sharded_xla():
     )
 
     step_x, init = make_sharded_solver(
-        wb.make_whole_body_solver, mesh, params=params
+        wb.make_whole_body_solver, mesh, params=params,
+        low_k_guard="off",  # intentional tiny shape-validation config
     )
     step_f, _ = make_sharded_solver(
         wb.make_whole_body_solver, mesh, params=params,
+        low_k_guard="off",  # intentional tiny shape-validation config
         backend="pallas", pallas_use_prng=False, pallas_interpret=True,
     )
 

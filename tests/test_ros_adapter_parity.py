@@ -50,10 +50,17 @@ def test_ros_adapter_round_trip_against_live_server():
             adapter.on_robot_states(position, velocity)
             # First reply waits on solver jit; very generous because the
             # full suite can run this under heavy host load (observed one
-            # flake past 240 s on a loaded machine).
+            # flake past 240 s on a loaded machine).  Each robot_states
+            # frame produces BOTH a robot_cmd and a drone_pose reply, so
+            # gate the wait on both counters — waiting on cmds alone can
+            # cut off between the cmd frame and the pose frame that
+            # follows it on the wire.
             deadline = time.time() + (480.0 if i == 0 else 240.0)
-            want = len(cmds)
-            while len(cmds) <= want and time.time() < deadline:
+            want = i + 1
+            while (
+                (len(cmds) < want or len(poses) < want)
+                and time.time() < deadline
+            ):
                 adapter.pump_once(timeout=0.5)
         assert len(cmds) >= 3 and len(poses) >= 3
         assert all(len(c) == 7 for c in cmds)

@@ -120,7 +120,9 @@ def test_whole_body_solver_improves_ee_error():
             dt=0.01, lam=0.1, sigma=wbs.default_sigma(), savgol_window=9,
         )
     )
-    step, init = wbs.make_whole_body_solver(params)
+    step, init = wbs.make_whole_body_solver(
+        params, low_k_guard="off"  # intentional tiny smoke shape
+    )
     obs0 = wbs.default_obs()
 
     from quadrotor_manipulator_mppi_tpu.models import chain as chain_mod

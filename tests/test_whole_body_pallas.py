@@ -29,7 +29,8 @@ def _small(params: wb.WholeBodyMPPIParams, k=256, h=16) -> wb.WholeBodyMPPIParam
 
 
 def _run_both(params, n_steps=3, obs=None):
-    step_xla, init = wb.make_whole_body_solver(params)
+    # low_k_guard off: parity shapes are intentionally tiny.
+    step_xla, init = wb.make_whole_body_solver(params, low_k_guard="off")
     step_fused = make_whole_body_pallas_step(params, use_prng=False, interpret=True)
     obs = wb.default_obs() if obs is None else obs
     st_x = init(jax.random.key(7))
