@@ -25,11 +25,48 @@ import sys
 import numpy as np
 
 
+def _maybe_resume(args, carry0):
+    """--resume PATH: overwrite a scenario's initial carry from a checkpoint
+    (utils/checkpoint restores PRNG keys exactly, so a resumed episode
+    continues the noise stream the uninterrupted run would have drawn)."""
+    if getattr(args, "resume", None):
+        from .utils import checkpoint
+
+        carry0 = checkpoint.restore(args.resume, carry0)
+        print(f"resumed state from {args.resume}", file=sys.stderr)
+    return carry0
+
+
+def _maybe_save(args, carry_final):
+    """--save-state PATH: checkpoint the final episode carry."""
+    if getattr(args, "save_state", None):
+        from .utils import checkpoint
+
+        checkpoint.save(args.save_state, carry_final)
+        print(f"saved state to {args.save_state}", file=sys.stderr)
+
+
 def _finish(name, metrics, log_arrays, args):
     if args.save_log:
         np.savez(args.save_log, **log_arrays)
         metrics["log"] = args.save_log
     print(json.dumps({"scenario": name, **metrics}))
+
+
+def _run_episode(args, tick, carry0, xs=None, length=None):
+    """Shared scenario driver: the jitted ``lax.scan`` episode every raw
+    scenario clones (tick over carry, per-step logs), with the
+    --resume / --save-state checkpoint handling applied uniformly.
+    Returns ``(final_carry, stacked_logs)``."""
+    import jax
+
+    carry0 = _maybe_resume(args, carry0)
+    run = jax.jit(
+        lambda c0: jax.lax.scan(tick, c0, xs, length=length)
+    )
+    carry_f, logs = run(carry0)
+    _maybe_save(args, carry_f)
+    return carry_f, logs
 
 
 def run_drone_waypoint(args):
@@ -442,9 +479,10 @@ def run_mission(args):
 
     # Start resting on the extended gear (feet at -gear_height).
     plant0 = mr.init_state(veh, pos=(0.0, 0.0, contact.gear_height))
-    run = jax.jit(lambda c0: jax.lax.scan(tick, c0, jnp.arange(args.steps * 10)))
-    (plant, _, mission), (z, phase, tilt) = run(
-        (plant0, fc.init_ctrl_state(veh.mass), scenario.init_mission())
+    (plant, _, mission), (z, phase, tilt) = _run_episode(
+        args, tick,
+        (plant0, fc.init_ctrl_state(veh.mass), scenario.init_mission()),
+        xs=jnp.arange(args.steps * 10),
     )
     z = np.asarray(z)
     landed_phase = np.asarray(phase) == scenario.LANDED
@@ -492,9 +530,12 @@ def run_whole_body_full(args):
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
+    carry0 = (plant, init(jax.random.key(args.seed)))
+    carry0 = _maybe_resume(args, carry0)
     final, logs = jax.jit(run)(
-        plant, init(jax.random.key(args.seed)), obs0.ee_target, obs0.base_target
+        carry0[0], carry0[1], obs0.ee_target, obs0.base_target
     )
+    _maybe_save(args, (final[0], final[1]))
     e = np.asarray(logs.ee_err)
     l1_cmd = np.asarray(logs.l1_cmd)
     reached = l1_cmd < 0.005
@@ -1039,18 +1080,20 @@ def run_mapped_flight(args):
     _, init = mapped_solver.make_mapped_solver(params)
     plant0, ctrl0, grid0 = mapped_loop.init_mapped_flight(cfg)
     sol0 = init(jax.random.PRNGKey(args.seed))
+    carry0 = _maybe_resume(args, (plant0, ctrl0, sol0, grid0))
     target = jnp.asarray(cfg.target)
 
     @jax.jit
-    def episode():
+    def episode(c0):
         keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.steps)
-        (plant, _, _, grid), (pos, clr) = jax.lax.scan(
-            lambda carry, key: control_step(*carry, key),
-            (plant0, ctrl0, sol0, grid0), keys,
+        (plant, ctrl, sol, grid), (pos, clr) = jax.lax.scan(
+            lambda carry, key: control_step(*carry, key), c0, keys,
         )
-        return plant, grid, pos, clr
+        return (plant, ctrl, sol, grid), pos, clr
 
-    plant_f, grid_f, pos, clr = episode()
+    carry_f, pos, clr = episode(carry0)
+    plant_f, grid_f = carry_f[0], carry_f[3]
+    _maybe_save(args, carry_f)
     pos = np.asarray(pos)
     dist = np.linalg.norm(pos - np.asarray(target), axis=-1)
     occ_voxels = int((np.asarray(grid_f.log_odds) > 0.0).sum())
@@ -1066,6 +1109,114 @@ def run_mapped_flight(args):
             "steps": args.steps,
         },
         {"pos": pos, "clearance": np.asarray(clr)},
+        args,
+    )
+
+
+def run_camera_survey(args):
+    """Aerial survey with the full camera stack (the three external RotorS
+    camera plugins working together): the multirotor orbits a ground target
+    while the 3-axis gimbal (``sim/gimbal``, world-frame P servo per the
+    gimbal-controller plugin) holds the depth camera on it through the
+    vehicle's banking; every capture interval the rendered depth frame
+    (``sim/depth_camera`` + Kinect noise) is geotagged with the live GPS
+    fix and stored as an npz artifact (``sim/geotag``, the
+    geotagged-images-plugin analog).  ``--save-log`` keeps the flight logs;
+    artifacts land in ``--out-dir``."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models import multirotor as mr
+    from .sim import closed_loop as cl, flight_control as fc
+    from .sim import depth_camera as dc, gimbal as gb
+    from .sim.geotag import GeotagParams, GeotagRecorder
+    from .sim.sensors import GpsParams, gps_measure
+
+    veh = mr.MultirotorParams()
+    gains = fc.FlightGains()
+    gparams = gb.GimbalParams()
+    target = jnp.asarray([2.0, 0.0, 0.0])
+    radius, alt, period = 3.0, 3.0, 12.0
+
+    def tick(carry, t):
+        plant, ctrl, gim = carry
+        # Circular orbit setpoint around the target.
+        ang = 2.0 * jnp.pi * t / (period * 1000.0)
+        sp = fc.FlightSetpoint(
+            pos=jnp.stack([
+                target[0] + radius * jnp.cos(ang),
+                target[1] + radius * jnp.sin(ang),
+                jnp.asarray(alt, plant.pos.dtype),
+            ]),
+            vel=jnp.zeros(3), yaw=jnp.zeros(()), yaw_rate=jnp.zeros(()),
+        )
+        u, ctrl = fc.backstepping_step(
+            gains, veh, ctrl, sp, pos=plant.pos, vel_world=plant.vel,
+            rpy=cl.rpy_of(plant), omega_body=plant.omega, dt=0.001,
+        )
+        plant = mr.step(veh, plant, fc.allocate(veh, u), 0.001)
+        cmd = gb.point_at(plant.pos, target)
+        gim = gb.gimbal_step(gparams, gim, cmd, plant.quat, 0.001)
+        axis = gb.camera_rotation(gim, plant.quat)[:, 2]
+        want = target - plant.pos
+        want = want / jnp.linalg.norm(want)
+        point_err = jnp.arccos(jnp.clip(jnp.dot(axis, want), -1.0, 1.0))
+        return (plant, ctrl, gim), (
+            plant.pos, plant.quat, gim.angles, point_err
+        )
+
+    plant0 = mr.init_state(veh, pos=(target[0] + radius, 0.0, alt))
+    (plant, _, gim), (pos, quat, gangles, perr) = _run_episode(
+        args, tick,
+        (plant0, fc.init_ctrl_state(veh.mass), gb.init_gimbal()),
+        xs=jnp.arange(args.steps * 10),
+    )
+
+    # Host-side capture pass over the logged trajectory: render + tag every
+    # interval (the plugin pair's runtime behavior, replayed exactly).
+    cam = dc.DepthCameraParams(width=32, height=24, max_depth=30.0)
+    rec = GeotagRecorder(
+        params=GeotagParams(interval=1.0),
+        out_dir=args.out_dir or "frames",
+    )
+    gps = GpsParams(horizontal_noise=0.05, vertical_noise=0.1)
+    spheres_c = jnp.asarray([[2.0, 0.0, 0.6], [0.5, 1.5, 0.4]])
+    spheres_r = jnp.asarray([0.6, 0.4])
+    key = jax.random.key(args.seed)
+    pos_np, quat_np = np.asarray(pos), np.asarray(quat)
+    gang_np = np.asarray(gangles)
+    stride = 100  # capture decisions at 10 Hz over the 1 kHz log
+    for i in range(0, pos_np.shape[0], stride):
+        t = i * 1e-3
+        key, k1, k2 = jax.random.split(key, 3)
+        rec.on_gps(np.asarray(gps_measure(gps, k1, jnp.asarray(pos_np[i]))))
+        if t - rec.last_capture_t < rec.params.interval:
+            continue
+        gim_i = gb.GimbalState(
+            angles=jnp.asarray(gang_np[i]), rates=jnp.zeros(3)
+        )
+        rot_cw = gb.camera_rotation(gim_i, jnp.asarray(quat_np[i]))
+        depth = dc.depth_render(
+            cam, jnp.asarray(pos_np[i]), rot_cw,
+            sphere_centers=spheres_c, sphere_radii=spheres_r,
+        )
+        depth = dc.noisy_depth(cam, k2, depth, model="kinect")
+        rec.on_frame(
+            t, np.asarray(depth), cam_pos=pos_np[i], cam_rot=np.asarray(rot_cw)
+        )
+
+    perr_np = np.asarray(perr)
+    tail = perr_np[perr_np.shape[0] // 2:]
+    _finish(
+        "camera-survey",
+        {
+            "frames_written": len(rec.written),
+            "first_frame": rec.written[0] if rec.written else None,
+            "point_err_tail_max_deg": round(float(np.rad2deg(tail.max())), 2),
+            "point_err_tail_mean_deg": round(float(np.rad2deg(tail.mean())), 2),
+            "orbit_alt_final_m": round(float(pos_np[-1, 2]), 3),
+        },
+        {"pos": pos_np, "gimbal": gang_np, "point_err": perr_np},
         args,
     )
 
@@ -1256,6 +1407,7 @@ SCENARIOS = {
     "hover": run_hover,
     "figure-eight": run_figure_eight,
     "mission": run_mission,
+    "camera-survey": run_camera_survey,
 }
 
 
@@ -1293,6 +1445,18 @@ def main(argv=None):
                    help="waypoint-file: fly a C2 cubic polynomial "
                         "trajectory through the waypoints (vel+acc "
                         "feed-forward) instead of step setpoints")
+    p.add_argument("--out-dir", default=None, dest="out_dir",
+                   help="camera-survey: geotagged-frame artifact directory")
+    p.add_argument("--save-state", default=None, dest="save_state",
+                   help="checkpoint the final episode state (plant + solver "
+                        "incl. PRNG stream) to this .npz "
+                        "(whole-body-full / mission / mapped-flight)")
+    p.add_argument("--resume", default=None,
+                   help="resume from a --save-state checkpoint: the episode "
+                        "continues exactly where the saved one stopped "
+                        "(utils/checkpoint preserves the PRNG key, so the "
+                        "resumed noise stream is the one the uninterrupted "
+                        "run would have drawn)")
     p.add_argument("--obstacles", default="spheres",
                    choices=["spheres", "esdf"],
                    help="mapped-flight: obstacle representation (top-N "

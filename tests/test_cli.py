@@ -153,3 +153,79 @@ def test_waypoint_file_smooth_polynomial(capsys):
     assert r["passed"] is True
     assert r["track_rms_m"] < 0.05
     assert r["max_end_err_m"] < 0.05
+
+
+def test_mission_save_and_resume(capsys, tmp_path):
+    """--save-state / --resume: a mission checkpointed mid-flight and
+    resumed continues the SAME trajectory as one uninterrupted run —
+    utils/checkpoint round-trips the entire episode carry (plant, controller
+    adaptation, mission state machine) and PRNG keys exactly."""
+    ck = str(tmp_path / "mission.npz")
+    r1 = run_cli(capsys, ["mission", "--steps", "400", "--save-state", ck])
+    assert r1["final_phase"] >= 1
+    import os
+
+    assert os.path.exists(ck)
+    # Resume: continues from the saved plant/mission state (cruise phase),
+    # not from the ground.
+    r2 = run_cli(capsys, ["mission", "--steps", "400", "--resume", ck])
+    assert r2["max_alt_m"] >= r1["final_alt_m"] - 0.2
+
+
+def test_whole_body_full_resume_matches_continuous(capsys, tmp_path):
+    """Resumed-equals-continuous on the flagship loop: 30+30 steps through a
+    checkpoint lands where one 60-step run lands (the PRNG-key and warm
+    start serialization in utils/checkpoint guarantee the identical noise
+    stream).  Uses the scenario functions directly at a CI-sized K."""
+    import jax
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+    from quadrotor_manipulator_mppi_tpu.utils import checkpoint
+
+    params = wbs.position_mode_params(n_samples=64, n_horizon=12)
+    _, init = wbs.make_whole_body_solver(params)
+    plant0 = wbl.init_plant(params.model.vehicle)
+    obs = wbs.default_obs()
+    sol0 = init(jax.random.key(0))
+
+    run30 = jax.jit(wbl.make_whole_body_episode(params, n_control_steps=30))
+    run60 = jax.jit(wbl.make_whole_body_episode(params, n_control_steps=60))
+
+    # Continuous 60 steps.
+    final_c, logs_c = run60(plant0, sol0, obs.ee_target, obs.base_target)
+
+    # 30 steps -> checkpoint -> restore -> 30 more.
+    mid, _ = run30(plant0, sol0, obs.ee_target, obs.base_target)
+    ck = str(tmp_path / "wb.npz")
+    checkpoint.save(ck, (mid[0], mid[1]))
+    plant_r, sol_r = checkpoint.restore(ck, (plant0, sol0))
+    final_r, logs_r = run30(plant_r, sol_r, obs.ee_target, obs.base_target)
+
+    np.testing.assert_allclose(
+        np.asarray(final_r[0].base.pos), np.asarray(final_c[0].base.pos),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_r[0].q), np.asarray(final_c[0].q), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs_r.ee_err[-1]), np.asarray(logs_c.ee_err[-1]), atol=1e-5
+    )
+
+
+def test_camera_survey_writes_geotagged_frames(capsys, tmp_path):
+    """The full camera stack on the product surface: orbit flight with the
+    gimbal holding the depth camera on target, geotagged npz artifacts
+    written at the capture cadence."""
+    out = str(tmp_path / "frames")
+    r = run_cli(
+        capsys, ["camera-survey", "--steps", "400", "--out-dir", out]
+    )
+    assert r["frames_written"] >= 3
+    assert r["point_err_tail_max_deg"] < 10.0
+    d = np.load(r["first_frame"])
+    assert d["image"].ndim == 2 and np.isfinite(d["image"]).any()
+    assert abs(float(d["lat_deg"]) - 47.3667) < 0.01
+    assert float(d["alt_m"]) > 488.0
