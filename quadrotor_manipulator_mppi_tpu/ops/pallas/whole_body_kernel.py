@@ -467,7 +467,20 @@ def _rollout_cost(v, sc_ref, cols_ref, mats_ref, *, consts):
         pen = jnp.maximum(orad - dist, 0.0)
         step_cost += c["w_obs"] * pen * pen
 
-    return jnp.sum(step_cost, axis=0, keepdims=True)  # (1, T)
+    total = jnp.sum(step_cost, axis=0, keepdims=True)  # (1, T)
+    if c["w_stop"]:
+        # Terminal stopping-point cost (solver/whole_body WholeBodyCostParams
+        # .stop_weight): |p_H + T_stop v_H - p*|^2 on the base — terminal
+        # row only.
+        hh = c["h"]
+        ts = c["stop_horizon"]
+        sx = pos[0][hh - 1:hh, :] + ts * vel[0][hh - 1:hh, :] - sc_ref[_SC_BTGT]
+        sy = (pos[1][hh - 1:hh, :] + ts * vel[1][hh - 1:hh, :]
+              - sc_ref[_SC_BTGT + 1])
+        sz = (pos[2][hh - 1:hh, :] + ts * vel[2][hh - 1:hh, :]
+              - sc_ref[_SC_BTGT + 2])
+        total += c["w_stop"] * (sx * sx + sy * sy + sz * sz)
+    return total
 
 
 def _normals_erfinv(shape) -> jax.Array:
@@ -675,6 +688,8 @@ def make_whole_body_pallas_step(
         w_obs=cp.obstacle_weight,
         obs_centers=tuple(tuple(float(v) for v in c) for c in cp.obstacle_centers),
         obs_radii=tuple(float(r) for r in cp.obstacle_radii),
+        w_stop=float(getattr(cp, "stop_weight", 0.0)),
+        stop_horizon=float(getattr(cp, "stop_horizon", 1.0)),
     )
 
     mats_np = _host_matrices(mp, h, dt)

@@ -84,6 +84,16 @@ class WholeBodyCostParams:
     obstacle_weight: float = 0.0
     obstacle_centers: tuple = ()        # ((x, y, z), ...)
     obstacle_radii: tuple = ()
+    # Terminal stopping-point cost on the BASE: penalize where the base is
+    # *heading* at the end of the horizon, |p_H + T_stop * v_H - p*|^2.
+    # This encodes the value of the slow (~2 s) lateral position mode that
+    # a 0.5 s horizon cannot roll out — the wrench mode's precision fix: a
+    # sample that ends the horizon drifting away pays now, so the softmin
+    # favors plans that end heading to a stop over the target.  Zero
+    # disables (attitude/position modes get this damping from their
+    # modeled inner loops).
+    stop_weight: float = 0.0
+    stop_horizon: float = 1.0           # T_stop [s]: lookahead of the coast
 
 
 def default_nominal_action() -> np.ndarray:
@@ -189,13 +199,17 @@ def wrench_mode_params(
     * body-rate damping ``rate_damping=12`` — the 1 kHz feedback
       tau -= kd I omega, modeled in the rollout as a decay operator
       (parallel-in-time), which stops 100 Hz-held torques from
-      destabilizing attitude through the asymmetric rotor lag.
-
-    Closed-loop character (K=1024, 6 s episodes): reaches the EE target
-    (< 5 cm at best), tilt < 0.13 rad, altitude within 0.45 m, base shows
-    a slow bounded weave (~0.5 m) — the 0.5 s horizon under-damps the
-    ~2 s lateral position mode; attitude/position modes remain the
-    precision configurations (BASELINE.md).
+      destabilizing attitude through the asymmetric rotor lag;
+    * (round 4) the terminal stopping-point cost
+      (``WholeBodyCostParams.stop_weight``): the 0.5 s horizon cannot roll
+      out the ~2 s lateral position mode, so samples were never charged
+      for ending the horizon adrift — the cause of the old ~0.5 m base
+      weave.  Charging the predicted coast point |p_H + 1.2 s * v_H - p*|^2
+      closes it: measured (K=1024, 6 s episodes, exact-RNEA plant) EE L1
+      tail 6-7 mm, base excursion <= 0.23 m transient / <= 0.10 m settled,
+      tilt < 0.02 rad — direct wrench actuation is now a precision mode
+      alongside attitude/position (gated in CI at K=1024 and at flagship K
+      in tests_tpu).
     """
     sigma = np.asarray([8.0, 1.2, 1.2, 0.5] + [1.0] * kinova.N_JOINTS)
     lo = np.asarray([0.0, -6.0, -6.0, -3.0] + [-20.0] * kinova.N_JOINTS)
@@ -222,6 +236,7 @@ def wrench_mode_params(
         cost=WholeBodyCostParams(
             base_pos_weight=400.0, vel_weight=300.0,
             attitude_weight=400.0, omega_weight=10.0,
+            stop_weight=4000.0, stop_horizon=1.2,
         ),
     )
 
@@ -347,6 +362,12 @@ def make_whole_body_solver(
             s = s + cp.vel_weight * jnp.mean(
                 jnp.sum(base.vel * base.vel, axis=-1), axis=-1
             )
+        if cp.stop_weight:
+            d_stop = (
+                base.pos[..., -1, :] + cp.stop_horizon * base.vel[..., -1, :]
+                - obs.base_target
+            )
+            s = s + cp.stop_weight * jnp.sum(d_stop * d_stop, axis=-1)
         if cp.action_weight:
             s = s + costs_mod.action_cost(v, cp.action_weight, cp.gamma)
         if cp.joint_limit_weight:

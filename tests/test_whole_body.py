@@ -308,26 +308,37 @@ def test_rate_damping_parallel_matches_scan():
     assert w_damp < 0.7 * w_free
 
 
-def test_wrench_mode_stabilized_closed_loop():
-    """Round-3 wrench-mode robustness (ROADMAP 'wrench: fragile'): with the
-    arm-gravity feed-forward + rate damping (wrench_mode_params), the
-    direct-actuation loop on the FULL plant stays upright, holds altitude,
-    and reaches the EE target region — where the unstabilized config
-    rolls over under the arm's constant ~18 N*m moment (measured)."""
+def test_wrench_mode_precision_closed_loop():
+    """Wrench mode as a PRECISION mode (round-4 stop-cost fix): with the
+    terminal stopping-point cost charging plans that end the horizon
+    adrift, direct actuation on the FULL plant reaches and HOLDS the EE
+    target at the centimeter scale with a bounded-and-settling base —
+    where the round-3 preset held a standing ~0.5 m weave (its 0.5 s
+    horizon never saw the ~2 s lateral position mode).  Measured at this
+    CI shape (K=1024, 4.5 s, seeds 0-2): L1 tail max 9.7-13.2 mm, base
+    excursion <= 0.23 m transient / <= 0.18 m still settling, tilt
+    <= 0.012 rad; bounds ~2x.  The flagship-K gate (6 s, <= 1 cm mean,
+    <= 0.1 m settled) lives in tests_tpu."""
     from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
 
-    params = wbs.wrench_mode_params(n_samples=512, n_horizon=50)
-    run = wbl.make_whole_body_episode(params, n_control_steps=300)
+    params = wbs.wrench_mode_params(n_samples=1024, n_horizon=50)
+    run = wbl.make_whole_body_episode(
+        params, n_control_steps=450,
+        cfg=wbl.WholeBodyLoopConfig(arm_coeffs_per_control=True),
+    )
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
     final, logs = jax.jit(run)(
         plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
     )
-    e = np.asarray(logs.ee_err)
+    l1 = np.asarray(logs.l1_meas)
     tilt = np.asarray(logs.tilt)
-    alt = np.asarray(logs.base_pos)[:, 2]
-    assert np.all(np.isfinite(e))
-    assert e.min() < 0.15
-    assert tilt.max() < 0.25
-    assert alt.min() > 1.2
+    exc = np.linalg.norm(
+        np.asarray(logs.base_pos) - np.asarray(obs0.base_target), axis=-1
+    )
+    assert np.all(np.isfinite(l1))
+    assert l1[-100:].max() < 0.025, l1[-100:].max()
+    assert exc.max() < 0.35, exc.max()
+    assert exc[-100:].max() < 0.30, exc[-100:].max()
+    assert tilt.max() < 0.05, tilt.max()

@@ -195,3 +195,33 @@ def test_wrench_mode_params_preset_matches_xla():
     loop; here the solver side: couple off, damping on) agrees between
     backends."""
     _run_both(_small(wb.wrench_mode_params()))
+
+
+def test_wrench_stop_cost_matches_xla():
+    """The terminal stopping-point cost (WholeBodyCostParams.stop_weight —
+    the wrench precision fix) computed in-kernel on the terminal pos/vel
+    rows agrees with the XLA cost path."""
+    params = _wrench_params(h=12)
+    params = dataclasses.replace(
+        params,
+        cost=dataclasses.replace(
+            params.cost, stop_weight=4000.0, stop_horizon=1.2
+        ),
+    )
+    st_x, st_f = _run_both(params)
+    np.testing.assert_allclose(
+        np.asarray(st_f.u_prev), np.asarray(st_x.u_prev), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_attitude_stop_cost_matches_xla():
+    """Stop cost on the linear-response attitude rollout (pos/vel come from
+    the (H, H) response matmuls there)."""
+    params = _small(wb.WholeBodyMPPIParams(), k=256, h=12)
+    params = dataclasses.replace(
+        params,
+        cost=dataclasses.replace(
+            params.cost, stop_weight=1000.0, stop_horizon=0.8
+        ),
+    )
+    _run_both(params)

@@ -239,15 +239,19 @@ def test_mapped_flight_on_hardware():
     assert r["reached"] is True
 
 
-def test_wrench_mode_stabilized_full_k():
-    """Round-3 wrench stabilizers at flagship K on the real chip: the
-    direct-actuation loop reaches the EE target region and stays upright
-    (fused kernel path with the omat/ohom rate-damping operators)."""
+def test_wrench_mode_precision_full_k():
+    """Wrench precision gate at flagship K on the real chip (fused kernel
+    path, incl. the in-kernel terminal stopping-point cost): over a 6 s
+    episode the direct-actuation loop holds the EE at <= 1 cm L1 (tail
+    mean) with the base settled inside 0.15 m.  Measured (K=4096, seeds
+    0-2, CPU/XLA loop): tail mean 6.4-8.5 mm, tail max 7.9-10.2 mm,
+    settled excursion 0.086-0.096 m, transient peak <= 0.26 m; bounds
+    leave ~1.5x margin for the kernel's different noise stream."""
     import jax
     import jax.numpy as jnp
 
     params = wbs.wrench_mode_params(n_samples=4096, n_horizon=50)
-    run = wbl.make_whole_body_episode(params, n_control_steps=800,
+    run = wbl.make_whole_body_episode(params, n_control_steps=600,
                                       backend="pallas")
     _, init = wbs.make_whole_body_solver(params, backend="pallas")
     plant = wbl.init_plant(params.model.vehicle)
@@ -255,10 +259,14 @@ def test_wrench_mode_stabilized_full_k():
     final, logs = jax.jit(run)(
         plant, init(jax.random.key(0)), obs0.ee_target, obs0.base_target
     )
-    e = np.asarray(logs.ee_err)
+    l1 = np.asarray(logs.l1_meas)
     tilt = np.asarray(logs.tilt)
-    alt = np.asarray(logs.base_pos)[:, 2]
-    assert np.all(np.isfinite(e))
-    assert e.min() < 0.15
-    assert tilt.max() < 0.25
-    assert alt.min() > 1.2
+    exc = np.linalg.norm(
+        np.asarray(logs.base_pos) - np.asarray(obs0.base_target), axis=-1
+    )
+    assert np.all(np.isfinite(l1))
+    assert l1[-150:].mean() < 0.010, l1[-150:].mean()
+    assert l1[-150:].max() < 0.016, l1[-150:].max()
+    assert exc[-150:].max() < 0.15, exc[-150:].max()
+    assert exc.max() < 0.35, exc.max()
+    assert tilt.max() < 0.05, tilt.max()
