@@ -21,6 +21,18 @@ sampler is Box-Muller over 24-bit uniforms from ``pltpu.prng_random_bits``
 validated distributionally and behaviorally (reaches the same targets),
 not bit-for-bit against the XLA path.
 
+Performance status (measured, round 4 — BENCH_DETAILS
+``drone_backend_crossover``): the XLA drone pipeline beats this kernel at
+every sample count (0.08-0.10 ms vs 0.17-0.22 ms, K=1024..16384).  The
+point-mass rollout is pure cumsums that XLA fuses into a handful of ops,
+while the kernel pays its in-kernel PRNG twice (two-pass regeneration) on
+a solve with almost no compute to hide it under.  The production drone
+backend is therefore the XLA path; this kernel is kept as the minimal,
+heavily-commented template of the two-pass fused-PRNG pattern — the
+whole-body kernel builds on its TILE/_normals machinery and DOES win
+(5.7x on the compute-bound obstacle config) where there is real compute
+per sample.
+
 Runtime note (axon v5e, jax 0.9): ``prng_random_bits`` yields *signed*
 int32 and Mosaic cannot cast uint32 -> f32, hence the low-24-bit masking in
 ``_normals``; the TPU *interpreter* stubs ``prng_random_bits`` to zeros, so
