@@ -265,6 +265,11 @@ class FrozenArmCoeffs(NamedTuple):
     c_f: Array     # (3, J, J)
     mass: Array    # (J, J)    M(q)
     chol: Array    # (J, J)    cholesky(M)
+    minv: Array    # (J, J)    M(q)^-1 — the substep loop applies ONE tiny
+    #                matvec instead of two sequential triangular solves
+    #                (which lower poorly on TPU); M is 7x7 symmetric PD with
+    #                benign conditioning, so the explicit inverse costs
+    #                nothing in accuracy at f32 (tested)
 
 
 def frozen_arm_coeffs(
@@ -321,9 +326,11 @@ def frozen_arm_coeffs(
         return jnp.moveaxis(c, -1, 0)                    # (dim, J, J)
 
     c_tau, c_n, c_f = (polarize(p, s) for p, s in zip(h_pair, h_single))
+    chol = jnp.linalg.cholesky(mass)
+    minv = jax.scipy.linalg.cho_solve((chol, True), jnp.eye(j_n, dtype=dtype))
     return FrozenArmCoeffs(
         g_tau=g_tau, c_tau=c_tau, g_n=g_n, c_n=c_n, g_f=g_f, c_f=c_f,
-        mass=mass, chol=jnp.linalg.cholesky(mass),
+        mass=mass, chol=chol, minv=minv,
     )
 
 
@@ -346,12 +353,8 @@ def frozen_forward_dynamics(
     co: FrozenArmCoeffs, a0: Array, qd: Array, tau: Array
 ) -> Array:
     """qdd = M^-1 (tau - nle) with every q-dependent quantity frozen."""
-    rhs = (tau - frozen_nle(co, a0, qd))[..., None]
-    y = jax.scipy.linalg.solve_triangular(co.chol, rhs, lower=True)
-    qdd = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(co.chol, -1, -2), y, lower=False
-    )
-    return qdd[..., 0]
+    rhs = tau - frozen_nle(co, a0, qd)
+    return jnp.einsum("ij,...j->...i", co.minv, rhs)
 
 
 def frozen_gravity_torque_on_base(co: FrozenArmCoeffs, a0: Array) -> Array:

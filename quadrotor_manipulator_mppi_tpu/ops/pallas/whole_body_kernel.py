@@ -507,7 +507,7 @@ def _draw_noise(sc_ref, *, consts):
     """The tile's noise, one (H, T) block per action, fixed draw order —
     pass 1 and pass 2 must call this identically for regeneration."""
     return [
-        sc_ref[_SC_SIGMA + a] * _normals_erfinv((consts["h"], TILE))
+        sc_ref[_SC_SIGMA + a] * _normals_erfinv((consts["h"], consts["tile"]))
         for a in range(A_TOTAL)
     ]
 
@@ -621,6 +621,7 @@ def make_whole_body_pallas_step(
     interpret: bool = False,
     axis_name=None,
     n_local_samples=None,
+    tile: int = TILE,
 ):
     """Build ``step(state, obs) -> (u_seq, new_state)`` — the fused
     drop-in for the XLA ``make_step`` pipeline inside
@@ -646,8 +647,10 @@ def make_whole_body_pallas_step(
     k_local = n_local_samples or cfg.n_samples
     if cfg.n_action != A_TOTAL:
         raise ValueError(f"whole-body kernel expects {A_TOTAL} actions")
-    if k_local % TILE:
-        raise ValueError(f"local sample count must be a multiple of {TILE}")
+    if k_local % tile:
+        raise ValueError(f"local sample count must be a multiple of {tile}")
+    if tile % TILE:
+        raise ValueError(f"tile must be a multiple of the {TILE}-lane width")
     if mp.control_mode not in ("attitude", "position", "wrench"):
         raise ValueError("unknown control mode for the fused kernel")
     if cp.ori_mode != "log":
@@ -663,7 +666,7 @@ def make_whole_body_pallas_step(
     spec, oq, ot = _chain_constants()
     if mp.arm_tip != "link_7":
         raise ValueError("fused kernel bakes the link_7 tip frame")
-    n_tiles = k_local // TILE
+    n_tiles = k_local // tile
 
     inertials = mp.inertials()
     consts = dict(
@@ -690,6 +693,7 @@ def make_whole_body_pallas_step(
         obs_radii=tuple(float(r) for r in cp.obstacle_radii),
         w_stop=float(getattr(cp, "stop_weight", 0.0)),
         stop_horizon=float(getattr(cp, "stop_horizon", 1.0)),
+        tile=tile,
     )
 
     mats_np = _host_matrices(mp, h, dt)
@@ -702,11 +706,11 @@ def make_whole_body_pallas_step(
     cols_spec = pl.BlockSpec((h, _COL_LEN), lambda i: (0, 0), memory_space=vm)
     mats_spec = pl.BlockSpec((n_mats, h, h), lambda i: (0, 0, 0), memory_space=vm)
     uprev_spec = pl.BlockSpec((h, A_TOTAL), lambda i: (0, 0), memory_space=vm)
-    s_spec = pl.BlockSpec((n_tiles, TILE), lambda i: (0, 0), memory_space=vm)
+    s_spec = pl.BlockSpec((n_tiles, tile), lambda i: (0, 0), memory_space=vm)
     noise_spec = pl.BlockSpec(
-        (1, A_TOTAL, h, TILE), lambda i: (i, 0, 0, 0), memory_space=vm
+        (1, A_TOTAL, h, tile), lambda i: (i, 0, 0, 0), memory_space=vm
     )
-    w_spec = pl.BlockSpec((n_tiles, TILE), lambda i: (0, 0), memory_space=vm)
+    w_spec = pl.BlockSpec((n_tiles, tile), lambda i: (0, 0), memory_space=vm)
     du_spec = pl.BlockSpec((n_tiles, A_TOTAL * h), lambda i: (0, 0), memory_space=vm)
     m2_spec = pl.BlockSpec((n_tiles, A_TOTAL), lambda i: (0, 0), memory_space=vm)
 
@@ -787,7 +791,7 @@ def make_whole_body_pallas_step(
         mats = jnp.asarray(mats_np)
         u_prev = state.u_prev.astype(jnp.float32)
 
-        s_shape = jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32)
+        s_shape = jax.ShapeDtypeStruct((n_tiles, tile), jnp.float32)
         if use_prng:
             seed = jax.random.randint(sub, (), 0, np.int32(2**31 - 1), jnp.int32)
             seed_arr = seed * np.int32(n_tiles) + jnp.arange(n_tiles, dtype=jnp.int32)
@@ -803,7 +807,7 @@ def make_whole_body_pallas_step(
             noise = sampling.sample_noise(
                 sub, k_local, h, A_TOTAL, sigma_live, jnp.float32
             )
-            noise_t = noise.reshape(n_tiles, TILE, h, A_TOTAL).transpose(0, 3, 2, 1)
+            noise_t = noise.reshape(n_tiles, tile, h, A_TOTAL).transpose(0, 3, 2, 1)
             s = pl.pallas_call(
                 functools.partial(_cost_kernel_noise, consts=consts),
                 grid=(n_tiles,),
@@ -822,7 +826,7 @@ def make_whole_body_pallas_step(
         if axis_name is not None:
             eta = jax.lax.psum(eta, axis_name)
         w = w / eta
-        w_tiles = w.reshape(n_tiles, TILE)
+        w_tiles = w.reshape(n_tiles, tile)
 
         out_shapes = (
             jax.ShapeDtypeStruct((n_tiles, A_TOTAL * h), jnp.float32),
