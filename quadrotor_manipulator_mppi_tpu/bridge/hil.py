@@ -120,9 +120,13 @@ class HilSession:
             # specific force in body frame: R^T (a - g), NWU
             acc_w = (vel - prev_vel) / cfg.physics_dt
             f_spec = rmat.T @ (acc_w - np.array([0.0, 0.0, -mr.GRAVITY]))
-            # Zurich-ish field: NED (0.21, 0, +0.42) gauss (dips DOWN in the
-            # northern hemisphere) -> NWU z is negative.
-            mag_b = rmat.T @ np.array([0.21, 0.0, -0.42])
+            # Local geomagnetic field at the home fix: WMM magnetic-north
+            # components rotated by the table declination (the plugin's
+            # per-fix q_dn rotation) — NED -> NWU flips E and D.
+            mag_ned = mav.mag_field_ned(cfg.lat_deg, cfg.lon_deg)
+            mag_b = rmat.T @ np.array(
+                [mag_ned[0], -mag_ned[1], -mag_ned[2]]
+            )
             self._send(
                 "HIL_SENSOR",
                 mav.hil_sensor_values(

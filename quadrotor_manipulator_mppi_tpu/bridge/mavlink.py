@@ -365,3 +365,72 @@ def decode_actuator_controls(
         else:
             out[i] = amap.zero_disarmed[i]
     return out, armed
+
+
+# --- Earth magnetic-field declination (geo_mag_declination.cpp port) -------
+# WMM-derived lookup: 10-degree grid over lat [-60, 60] x lon [-180, 180],
+# int8 declination degrees (the MAV GEO table the reference's MAVLink plugin
+# consults per fix, geo_mag_declination.cpp:59-74), with the same
+# floor-to-grid / bound-clamp / bilinear semantics (:77-133).
+_DECL_SAMPLING_RES = 10.0
+_DECL_MIN_LAT, _DECL_MAX_LAT = -60.0, 60.0
+_DECL_MIN_LON, _DECL_MAX_LON = -180.0, 180.0
+_DECLINATION_TABLE = np.asarray([
+    [46, 45, 44, 42, 41, 40, 38, 36, 33, 28, 23, 16, 10, 4, -1, -5, -9, -14, -19, -26, -33, -40, -48, -55, -61, -66, -71, -74, -75, -72, -61, -25, 22, 40, 45, 47, 46],
+    [30, 30, 30, 30, 29, 29, 29, 29, 27, 24, 18, 11, 3, -3, -9, -12, -15, -17, -21, -26, -32, -39, -45, -51, -55, -57, -56, -53, -44, -31, -14, 0, 13, 21, 26, 29, 30],
+    [21, 22, 22, 22, 22, 22, 22, 22, 21, 18, 13, 5, -3, -11, -17, -20, -21, -22, -23, -25, -29, -35, -40, -44, -45, -44, -40, -32, -22, -12, -3, 3, 9, 14, 18, 20, 21],
+    [16, 17, 17, 17, 17, 17, 16, 16, 16, 13, 8, 0, -9, -16, -21, -24, -25, -25, -23, -20, -21, -24, -28, -31, -31, -29, -24, -17, -9, -3, 0, 4, 7, 10, 13, 15, 16],
+    [12, 13, 13, 13, 13, 13, 12, 12, 11, 9, 3, -4, -12, -19, -23, -24, -24, -22, -17, -12, -9, -10, -13, -17, -18, -16, -13, -8, -3, 0, 1, 3, 6, 8, 10, 12, 12],
+    [10, 10, 10, 10, 10, 10, 10, 9, 9, 6, 0, -6, -14, -20, -22, -22, -19, -15, -10, -6, -2, -2, -4, -7, -8, -8, -7, -4, 0, 1, 1, 2, 4, 6, 8, 10, 10],
+    [9, 9, 9, 9, 9, 9, 8, 8, 7, 4, -1, -8, -15, -19, -20, -18, -14, -9, -5, -2, 0, 1, 0, -2, -3, -4, -3, -2, 0, 0, 0, 1, 3, 5, 7, 8, 9],
+    [8, 8, 8, 9, 9, 9, 8, 8, 6, 2, -3, -9, -15, -18, -17, -14, -10, -6, -2, 0, 1, 2, 2, 0, -1, -1, -2, -1, 0, 0, 0, 0, 1, 3, 5, 7, 8],
+    [8, 9, 9, 10, 10, 10, 10, 8, 5, 0, -5, -11, -15, -16, -15, -12, -8, -4, -1, 0, 2, 3, 2, 1, 0, 0, 0, 0, 0, -1, -2, -2, -1, 0, 3, 6, 8],
+    [6, 9, 10, 11, 12, 12, 11, 9, 5, 0, -7, -12, -15, -15, -13, -10, -7, -3, 0, 1, 2, 3, 3, 3, 2, 1, 0, 0, -1, -3, -4, -5, -5, -2, 0, 3, 6],
+    [5, 8, 11, 13, 15, 15, 14, 11, 5, -1, -9, -14, -17, -16, -14, -11, -7, -3, 0, 1, 3, 4, 5, 5, 5, 4, 3, 1, -1, -4, -7, -8, -8, -6, -2, 1, 5],
+    [4, 8, 12, 15, 17, 18, 16, 12, 5, -3, -12, -18, -20, -19, -16, -13, -8, -4, -1, 1, 4, 6, 8, 9, 9, 9, 7, 3, -1, -6, -10, -12, -11, -9, -5, 0, 4],
+    [3, 9, 14, 17, 20, 21, 19, 14, 4, -8, -19, -25, -26, -25, -21, -17, -12, -7, -2, 1, 5, 9, 13, 15, 16, 16, 13, 7, 0, -7, -12, -15, -14, -11, -6, -1, 3],
+], np.float64)
+
+# Zurich WMM2015 field in the magnetic-north (declination-free) frame,
+# 1e5 x nT NED — the plugin zeroes the E component and reintroduces the
+# local declination per fix (gazebo_mavlink_interface.cpp:210-217).
+MAG_FIELD_D_NED = np.asarray([0.21523, 0.0, -0.42741])
+
+
+def mag_declination(lat_deg: float, lon_deg: float) -> float:
+    """Declination [rad] at a fix — ``get_mag_declination`` semantics
+    (floor to the 10-degree grid, clamp at the table bounds, bilinear)."""
+    lat, lon = float(lat_deg), float(lon_deg)
+    if not (-90.0 <= lat <= 90.0) or not (-180.0 <= lon <= 180.0):
+        return 0.0
+    res = _DECL_SAMPLING_RES
+    min_lat = int(lat / res) * res
+    min_lon = int(lon / res) * res
+    if lat <= _DECL_MIN_LAT:
+        min_lat = _DECL_MIN_LAT
+    if lat >= _DECL_MAX_LAT:
+        min_lat = int(lat / res) * res - res
+    if lon <= _DECL_MIN_LON:
+        min_lon = _DECL_MIN_LON
+    if lon >= _DECL_MAX_LON:
+        min_lon = int(lon / res) * res - res
+    i = int((-_DECL_MIN_LAT + min_lat) / res)
+    j = int((-_DECL_MIN_LON + min_lon) / res)
+    t = _DECLINATION_TABLE
+    d_sw, d_se = t[i][j], t[i][j + 1]
+    d_nw, d_ne = t[i + 1][j], t[i + 1][j + 1]
+    fx = (lon - min_lon) / res
+    fy = (lat - min_lat) / res
+    d_min = fx * (d_se - d_sw) + d_sw
+    d_max = fx * (d_ne - d_nw) + d_nw
+    return float(np.deg2rad(fy * (d_max - d_min) + d_min))
+
+
+def mag_field_ned(lat_deg: float, lon_deg: float) -> np.ndarray:
+    """Local geomagnetic field (NED, 1e5 x nT): the magnetic-north-frame
+    Zurich field rotated about D by the fix's declination (the plugin's
+    ``q_dn`` rotation, gazebo_mavlink_interface.cpp:424-427)."""
+    d = mag_declination(lat_deg, lon_deg)
+    c, s = np.cos(d), np.sin(d)
+    rz = np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    return rz @ MAG_FIELD_D_NED

@@ -101,6 +101,17 @@ def _round3_classes():
     )
 
 
+def _round4_classes():
+    """Round-4 subsystem configs: the camera stack + the closed-loop
+    episode options (frozen-coefficient plant, tube servo, payload)."""
+    from .sim.geotag import GeotagParams
+    from .sim.gimbal import GimbalParams
+    from .sim.sensors import GpsParams
+    from .sim.whole_body_loop import WholeBodyLoopConfig
+
+    return (GimbalParams, GeotagParams, GpsParams, WholeBodyLoopConfig)
+
+
 _REGISTRY = {
     cls.__name__: cls
     for cls in (
@@ -109,6 +120,7 @@ _REGISTRY = {
     )
 }
 _REGISTRY.update({cls.__name__: cls for cls in _round3_classes()})
+_REGISTRY.update({cls.__name__: cls for cls in _round4_classes()})
 
 
 def register(cls):

