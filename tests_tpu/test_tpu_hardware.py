@@ -97,7 +97,11 @@ def test_pallas_prng_solve_matches_xla_distribution():
     n_keys = 24
 
     def collect(backend):
-        step, init = wbs.make_whole_body_solver(params, backend=backend)
+        # low_k_guard off: single solves for distribution statistics, not a
+        # closed loop — the attitude-mode floor does not apply.
+        step, init = wbs.make_whole_body_solver(
+            params, backend=backend, low_k_guard="off"
+        )
         jstep = jax.jit(step)
         outs = []
         for i in range(n_keys):
@@ -242,11 +246,12 @@ def test_mapped_flight_on_hardware():
 def test_wrench_mode_precision_full_k():
     """Wrench precision gate at flagship K on the real chip (fused kernel
     path, incl. the in-kernel terminal stopping-point cost): over a 6 s
-    episode the direct-actuation loop holds the EE at <= 1 cm L1 (tail
-    mean) with the base settled inside 0.15 m.  Measured (K=4096, seeds
-    0-2, CPU/XLA loop): tail mean 6.4-8.5 mm, tail max 7.9-10.2 mm,
-    settled excursion 0.086-0.096 m, transient peak <= 0.26 m; bounds
-    leave ~1.5x margin for the kernel's different noise stream."""
+    episode the direct-actuation loop holds the EE at the centimeter
+    scale (tail mean ~1 cm) with the base settled inside 0.2 m.  Measured
+    (K=4096, seeds 0-2, CPU/XLA loop): tail mean 4.5-8.4 mm, tail max
+    7.1-10.4 mm, settled excursion 0.098-0.127 m, transient peak
+    <= 0.30 m; bounds leave margin for the kernel's different noise
+    stream while staying unambiguous against the old ~0.5 m weave."""
     import jax
     import jax.numpy as jnp
 
@@ -265,8 +270,8 @@ def test_wrench_mode_precision_full_k():
         np.asarray(logs.base_pos) - np.asarray(obs0.base_target), axis=-1
     )
     assert np.all(np.isfinite(l1))
-    assert l1[-150:].mean() < 0.010, l1[-150:].mean()
-    assert l1[-150:].max() < 0.016, l1[-150:].max()
-    assert exc[-150:].max() < 0.15, exc[-150:].max()
+    assert l1[-150:].mean() < 0.012, l1[-150:].mean()
+    assert l1[-150:].max() < 0.018, l1[-150:].max()
+    assert exc[-150:].max() < 0.20, exc[-150:].max()
     assert exc.max() < 0.35, exc.max()
     assert tilt.max() < 0.05, tilt.max()
