@@ -254,7 +254,7 @@ def secondary(details: dict) -> None:
 
     details_main(
         ["arm", "drone", "pallas", "multi", "big", "wbfused", "position",
-         "wrench", "sharded"]
+         "wrench", "sharded", "batch_episode"]
     )
     if os.path.exists(DETAILS_PATH):
         with open(DETAILS_PATH) as f:

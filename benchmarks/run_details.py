@@ -271,6 +271,58 @@ def main(which):
         )
         log("fixedwing done", details["fixed_wing_K1024_H40"])
 
+    if "batch_episode" in which:
+        # Multi-tenant closed-loop serving: the FULL whole-body episode
+        # (solver + frozen-coefficient plant) vmapped over scenarios.
+        # Batching amortizes the latency-bound plant ops (run.py
+        # whole-body-batch is the CLI surface; this entry pins the number).
+        from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+        from quadrotor_manipulator_mppi_tpu.utils.pose import Pose
+
+        n_scn, k_scn, steps = 16, 512, 200
+        bparams = wb.position_mode_params(n_samples=k_scn, n_horizon=50)
+        brun = wbl.make_whole_body_episode(
+            bparams, n_control_steps=steps,
+            cfg=wbl.WholeBodyLoopConfig(
+                arm_coeffs_per_control=True, substep_unroll=10
+            ),
+        )
+        _, binit = wb.make_whole_body_solver(bparams)
+        bobs = wb.default_obs()
+        key = jax.random.key(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        boff = jax.random.uniform(k1, (n_scn, 3), minval=-0.3, maxval=0.3)
+        toff = jax.random.uniform(k2, (n_scn, 3), minval=-0.15, maxval=0.15)
+
+        def mk(i):
+            plant = wbl.init_plant(
+                bparams.model.vehicle,
+                pos=tuple(jnp.asarray([0.0, 0.0, 2.1]) + boff[i]),
+            )
+            target = Pose(position=bobs.ee_target.position + toff[i],
+                          quat=bobs.ee_target.quat)
+            return plant, binit(jax.random.fold_in(k3, i)), target
+
+        plants, solvers, targets = jax.vmap(mk)(jnp.arange(n_scn))
+        btgts = bobs.base_target + toff
+        vrun = jax.jit(jax.vmap(brun))
+        out = vrun(plants, solvers, targets, btgts)
+        jax.block_until_ready(out[1].ee_err)
+        r = bench_fn(lambda: vrun(plants, solvers, targets, btgts)[1].ee_err,
+                     iters=3, repeats=4)
+        per_step = r["median_ms"] / steps
+        details[f"batched_episode_{n_scn}x{k_scn}_H50"] = {
+            "ms_per_episode_step": round(per_step, 4),
+            "control_steps_per_s": round(n_scn * 1e3 / per_step, 1),
+            "vehicles_at_100hz_realtime": round(n_scn * 10.0 / per_step, 1),
+            "median_ms": r["median_ms"], "min_ms": r["min_ms"],
+            "std_ms": r["std_ms"], "n": r["n"],
+            "note": "full closed-loop episode (solver + 1 kHz plant) "
+                    "vmapped over scenarios; latency-bound plant ops "
+                    "amortize across the batch",
+        }
+        log("batch_episode done", details[f"batched_episode_{n_scn}x{k_scn}_H50"])
+
     if "mapped" in which:
         # Map-in-the-loop serving shape (round 3): one full control step of
         # run.py mapped-flight — lidar raycast, occupancy-grid ray

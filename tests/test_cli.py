@@ -229,3 +229,20 @@ def test_camera_survey_writes_geotagged_frames(capsys, tmp_path):
     assert d["image"].ndim == 2 and np.isfinite(d["image"]).any()
     assert abs(float(d["lat_deg"]) - 47.3667) < 0.01
     assert float(d["alt_m"]) > 488.0
+
+
+def test_whole_body_batch_scenario(capsys):
+    """Batched closed-loop serving: the FULL episode vmapped over scenarios
+    (frozen-coefficient plant config) converges across randomized initial
+    states and reports aggregate throughput."""
+    r = run_cli(
+        capsys,
+        ["whole-body-batch", "--scenarios", "4", "--k-per-device", "64",
+         "--steps", "120"],
+    )
+    assert r["scenarios"] == 4
+    assert r["control_steps_per_s"] > 0
+    # Tiny-K smoke shape: assert sane flight, not precision (the serving
+    # gates live in the bench + the single-episode precision tests).
+    assert r["l1_cmd_tail_mean_mm"] < 1500.0
+    assert r["max_tilt_rad"] < 0.5
