@@ -274,3 +274,32 @@ def test_frozen_arm_coeffs_episode_parity():
         np.abs(np.asarray(pf_ref[0].base.pos) - np.asarray(pf_fast[0].base.pos))
     )
     assert base_dev < 5e-3, base_dev
+
+
+def test_frozen_arm_coeffs_with_payload_parity():
+    """Frozen coefficients compose with the pick-weight payload path: the
+    grasped mass rides link 7 (modified mass/COM), and the frozen
+    extraction must freeze THOSE inertials — episode parity against the
+    exact per-substep RNEA with the same payload."""
+    import jax
+
+    from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
+    from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
+
+    params = wbs.position_mode_params(n_samples=96, n_horizon=16)
+    common = dict(params=params, n_control_steps=30)
+    cfg_ref = wbl.WholeBodyLoopConfig(payload_mass=0.5)
+    cfg_fast = wbl.WholeBodyLoopConfig(
+        payload_mass=0.5, arm_coeffs_per_control=True
+    )
+    run_ref = wbl.make_whole_body_episode(cfg=cfg_ref, **common)
+    run_fast = wbl.make_whole_body_episode(cfg=cfg_fast, **common)
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    solver = init(jax.random.key(0))
+    obs = wbs.default_obs()
+
+    _, log_ref = jax.jit(run_ref)(plant, solver, obs.ee_target, obs.base_target)
+    _, log_fast = jax.jit(run_fast)(plant, solver, obs.ee_target, obs.base_target)
+    err = np.max(np.abs(np.asarray(log_ref.ee_err) - np.asarray(log_fast.ee_err)))
+    assert err < 5e-3, err
