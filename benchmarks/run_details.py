@@ -54,6 +54,26 @@ def main(which):
         details["arm_K100_H32"] = bench_fn(lambda: jastep(astate, aobs)[0].qdes)
         log("arm done", details["arm_K100_H32"])
 
+        # Device-resident: the reference-size arm solve back-to-back in one
+        # jitted scan (the host-stepped number above is dominated by
+        # per-call arg marshalling through the tunnel).
+        @jax.jit
+        def arm_scan(st):
+            def body(s, _):
+                out, s = astep(s, aobs)
+                return s, out.qdes[0]
+            return jax.lax.scan(body, st, None, length=100)
+
+        jax.block_until_ready(arm_scan(astate)[1])
+        r = bench_fn(lambda: arm_scan(astate)[1], iters=3, repeats=4)
+        details["arm_scan_K100_H32"] = {
+            "ms_per_solve": round(r["median_ms"] / 100, 4),
+            "solves_per_s": round(1e5 / r["median_ms"], 1),
+            "note": "device-resident: 100 solves per dispatch; the "
+                    "reference runs this loop at 100 Hz",
+        }
+        log("arm scan done", details["arm_scan_K100_H32"])
+
     dobs = drone_solver.DroneObs(
         x=jnp.zeros(3), v=jnp.zeros(3),
         target=jnp.asarray(drone_solver.DEFAULT_TARGET),
@@ -70,6 +90,22 @@ def main(which):
             lambda: jdstep(dstate, dobs)[0].u_seq
         )
         log("drone done", details["drone_xla_K1024_H32"])
+
+        @jax.jit
+        def drone_scan(st):
+            def body(s, _):
+                out, s = dstep(s, dobs)
+                return s, out.xdes
+            return jax.lax.scan(body, st, None, length=100)
+
+        jax.block_until_ready(drone_scan(dstate)[1])
+        r = bench_fn(lambda: drone_scan(dstate)[1], iters=3, repeats=4)
+        details["drone_scan_K1024_H32"] = {
+            "ms_per_solve": round(r["median_ms"] / 100, 4),
+            "solves_per_s": round(1e5 / r["median_ms"], 1),
+            "note": "device-resident: 100 solves per dispatch",
+        }
+        log("drone scan done", details["drone_scan_K1024_H32"])
 
     if "pallas" in which:
         u0 = jnp.zeros((32, 3))
