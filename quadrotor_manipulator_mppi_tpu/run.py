@@ -517,14 +517,15 @@ def run_whole_body_full(args):
     from .sim import whole_body_loop as wbl
     from .solver import whole_body as wbs
 
+    k = args.k or 512
     if args.mode == "position":
-        params = wbs.position_mode_params(n_samples=512)
+        params = wbs.position_mode_params(n_samples=k)
     elif args.mode == "wrench":
-        params = wbs.wrench_mode_params(n_samples=512)
+        params = wbs.wrench_mode_params(n_samples=k)
     else:
         base = wbs.WholeBodyMPPIParams()
         params = dataclasses.replace(
-            base, mppi=dataclasses.replace(base.mppi, n_samples=512)
+            base, mppi=dataclasses.replace(base.mppi, n_samples=k)
         )
     run = wbl.make_whole_body_episode(params, n_control_steps=args.steps)
     _, init = wbs.make_whole_body_solver(params)
@@ -1449,8 +1450,8 @@ def main(argv=None):
     p.add_argument("--scenarios", type=int, default=32,
                    help="whole-body-batch: batched episode count")
     p.add_argument("--k", type=int, default=0,
-                   help="fixed-wing/mapped-flight: sample count override "
-                        "(0 = preset)")
+                   help="fixed-wing/mapped-flight/whole-body-full: sample "
+                        "count override (0 = preset)")
     p.add_argument("--file", default=None,
                    help="waypoint-file: RotorS-format waypoint file")
     p.add_argument("--smooth", action="store_true",
