@@ -286,7 +286,14 @@ class BridgeServer:
         self._threads = []
         self._stop = threading.Event()
         self._session: Optional[SolverSession] = None
-        self._session_lock = threading.Lock()
+        # RLock: dispatch branches hold it while lazily building the
+        # session (sess() -> session() re-acquires).
+        self._session_lock = threading.RLock()
+        # Latest camera frame (IMAGE payload) — held on the SERVER, not the
+        # session, so camera publishers/viewers never trigger the lazy
+        # (expensive, jit-compiling) solver-session build.
+        self._latest_image: list = []
+        self._image_lock = threading.Lock()
 
     def session(self) -> SolverSession:
         with self._session_lock:
@@ -317,7 +324,16 @@ class BridgeServer:
             pass
 
     def _handle(self, conn: socket.socket) -> None:
-        session = self.session()
+        # Deferred: camera publishers/viewers (IMAGE/IMAGE_REQ/PING only)
+        # must not pay the solver-session jit build.
+        session = None
+
+        def sess():
+            nonlocal session
+            if session is None:
+                session = self.session()
+            return session
+
         decoder = proto.Decoder()
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         with conn:
@@ -331,43 +347,45 @@ class BridgeServer:
                         return
                     elif frame.type == proto.MsgType.ROBOT_STATES:
                         with self._session_lock:
-                            replies = session.handle_states(frame.payload)
+                            replies = sess().handle_states(frame.payload)
                         for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.TELEOP_UAV:
                         with self._session_lock:
-                            session.handle_teleop_uav(int(frame.payload[0]))
+                            sess().handle_teleop_uav(int(frame.payload[0]))
                     elif frame.type == proto.MsgType.TELEOP_ARM:
                         with self._session_lock:
-                            session.handle_teleop_arm(int(frame.payload[0]))
+                            sess().handle_teleop_arm(int(frame.payload[0]))
                     elif frame.type == proto.MsgType.ACTION_GOAL:
                         with self._session_lock:
-                            replies = session.actions.handle_goal(
-                                frame.payload, session
+                            s_ = sess()
+                            replies = s_.actions.handle_goal(
+                                frame.payload, s_
                             )
                         for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.ACTION_CANCEL:
                         with self._session_lock:
-                            replies = session.actions.handle_cancel(
-                                frame.payload, session
+                            s_ = sess()
+                            replies = s_.actions.handle_cancel(
+                                frame.payload, s_
                             )
                         for reply in replies:
                             conn.sendall(proto.encode(reply))
                     elif frame.type == proto.MsgType.RPYT:
-                        session.rpyt = np.asarray(frame.payload[:4], np.float32)
+                        sess().rpyt = np.asarray(frame.payload[:4], np.float32)
                     elif frame.type == proto.MsgType.MONITOR:
                         with self._session_lock:
-                            tele = session.telemetry()
+                            tele = sess().telemetry()
                         conn.sendall(proto.encode(tele))
                     elif frame.type == proto.MsgType.IMAGE:
                         # Camera stream (gst-plugin analog): keep the latest
-                        # frame on the shared session for dashboard polls.
-                        with self._session_lock:
-                            session.latest_image = frame.payload
+                        # frame for dashboard polls.
+                        with self._image_lock:
+                            self._latest_image = frame.payload
                     elif frame.type == proto.MsgType.IMAGE_REQ:
-                        with self._session_lock:
-                            img = getattr(session, "latest_image", [])
+                        with self._image_lock:
+                            img = self._latest_image
                         conn.sendall(proto.encode(
                             proto.Frame(proto.MsgType.IMAGE, img)
                         ))

@@ -1135,7 +1135,10 @@ def run_camera_survey(args):
     (``sim/depth_camera`` + Kinect noise) is geotagged with the live GPS
     fix and stored as an npz artifact (``sim/geotag``, the
     geotagged-images-plugin analog).  ``--save-log`` keeps the flight logs;
-    artifacts land in ``--out-dir``."""
+    artifacts land in ``--out-dir``.  With ``--stream HOST:PORT`` each
+    captured frame is also pushed to a live QMM solver server as IMAGE
+    frames (``bridge/camera.CameraPublisher`` — the gst-plugin's
+    stream-during-flight role); watch with ``qmm_dashboard --camera``."""
     import jax
     import jax.numpy as jnp
 
@@ -1192,6 +1195,16 @@ def run_camera_survey(args):
         params=GeotagParams(interval=1.0),
         out_dir=args.out_dir or "frames",
     )
+    publisher = None
+    if args.stream:
+        import socket as socket_mod
+
+        from .bridge.camera import CameraPublisher
+
+        host, _, port = args.stream.rpartition(":")
+        sock = socket_mod.create_connection((host or "127.0.0.1", int(port)),
+                                            timeout=5)
+        publisher = CameraPublisher(sock, rate_hz=10.0)
     gps = GpsParams(horizontal_noise=0.05, vertical_noise=0.1)
     spheres_c = jnp.asarray([[2.0, 0.0, 0.6], [0.5, 1.5, 0.4]])
     spheres_r = jnp.asarray([0.6, 0.4])
@@ -1214,9 +1227,12 @@ def run_camera_survey(args):
             sphere_centers=spheres_c, sphere_radii=spheres_r,
         )
         depth = dc.noisy_depth(cam, k2, depth, model="kinect")
+        depth_np = np.asarray(depth)
         rec.on_frame(
-            t, np.asarray(depth), cam_pos=pos_np[i], cam_rot=np.asarray(rot_cw)
+            t, depth_np, cam_pos=pos_np[i], cam_rot=np.asarray(rot_cw)
         )
+        if publisher is not None:
+            publisher.publish(depth_np, t)
 
     perr_np = np.asarray(perr)
     tail = perr_np[perr_np.shape[0] // 2:]
@@ -1460,6 +1476,10 @@ def main(argv=None):
                         "feed-forward) instead of step setpoints")
     p.add_argument("--out-dir", default=None, dest="out_dir",
                    help="camera-survey: geotagged-frame artifact directory")
+    p.add_argument("--stream", default=None,
+                   help="camera-survey: push captured frames to a live QMM "
+                        "server (HOST:PORT) as IMAGE frames; view with "
+                        "qmm_dashboard --camera")
     p.add_argument("--save-state", default=None, dest="save_state",
                    help="checkpoint the final episode state (plant + solver "
                         "incl. PRNG stream) to this .npz "
