@@ -246,3 +246,24 @@ def test_whole_body_batch_scenario(capsys):
     # gates live in the bench + the single-episode precision tests).
     assert r["l1_cmd_tail_mean_mm"] < 1500.0
     assert r["max_tilt_rad"] < 0.5
+
+
+def test_mapped_flight_save_and_resume(capsys, tmp_path):
+    """--save-state/--resume on the mapped-flight scenario round-trips the
+    full carry (plant, controller, solver, occupancy grid): the resumed run
+    starts with the previous run's map instead of an empty grid."""
+    import os
+
+    ck = str(tmp_path / "mapped.npz")
+    r1 = run_cli(
+        capsys,
+        ["mapped-flight", "--steps", "250", "--k", "256", "--save-state", ck],
+    )
+    assert os.path.exists(ck)
+    assert r1["mapped_occupied_voxels"] >= 0
+    r2 = run_cli(
+        capsys,
+        ["mapped-flight", "--steps", "250", "--k", "256", "--resume", ck],
+    )
+    # The resumed run inherits the saved map: it can only add voxels.
+    assert r2["mapped_occupied_voxels"] >= r1["mapped_occupied_voxels"]
