@@ -307,6 +307,44 @@ def main(which):
         )
         log("fixedwing done", details["fixed_wing_K1024_H40"])
 
+    if "scan_modes" in which:
+        # Device-resident per-mode solve times (jitted scan of 100
+        # state-threaded solves, fused Pallas backend) — the throughput
+        # companion to the host-stepped per-mode entries.
+        presets = {
+            "attitude": wb.WholeBodyMPPIParams(
+                mppi=MPPIConfig(
+                    n_samples=4096, n_horizon=50, n_action=wb.N_ACTIONS,
+                    dt=0.01, lam=0.1, sigma=wb.default_sigma(),
+                    savgol_window=9,
+                )
+            ),
+            "position": wb.position_mode_params(n_samples=4096, n_horizon=50),
+            "wrench": wb.wrench_mode_params(n_samples=4096, n_horizon=50),
+        }
+        sobs = wb.default_obs()
+        for name, sp in presets.items():
+            sstep, sinit = wb.make_whole_body_solver(sp, backend="pallas")
+
+            @jax.jit
+            def scan_n(st, _step=sstep):
+                def body(s, _):
+                    out, s = _step(s, sobs)
+                    return s, out.action[0]
+                return jax.lax.scan(body, st, None, length=100)
+
+            st0 = sinit(jax.random.key(0))
+            jax.block_until_ready(scan_n(st0)[1])
+            r = bench_fn(lambda: scan_n(st0)[1], iters=3, repeats=4)
+            details[f"whole_body_scan_{name}_K4096_H50"] = {
+                "ms_per_solve": round(r["median_ms"] / 100, 4),
+                "solves_per_s": round(1e5 / r["median_ms"], 1),
+                "min_ms": round(r["min_ms"] / 100, 4),
+                "note": "device-resident: 100 solves per dispatch",
+            }
+            log(f"scan {name} done",
+                details[f"whole_body_scan_{name}_K4096_H50"])
+
     if "batch_episode" in which:
         # Multi-tenant closed-loop serving: the FULL whole-body episode
         # (solver + frozen-coefficient plant) vmapped over scenarios.
