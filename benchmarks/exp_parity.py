@@ -4,7 +4,19 @@ Measures the reference's reach criterion (mppi.py:117: sum |dp| < 0.005 m,
 an L1 gate on the commanded EE pose) on the in-framework full plant, plus
 held-error statistics over the tail of the episode.
 
-Usage: python benchmarks/exp_parity.py [--mode position] [--k 4096] [--steps 1000]
+The plant is the EXACT per-substep-RNEA path (no frozen coefficients).
+Round-5 speedups — identical math, big wall-clock cuts:
+
+* ``--seeds 0,1,2`` vmaps the WHOLE episode over solver seeds in one jitted
+  program: the exact plant is latency-bound (hundreds of tiny sequential
+  ops), so three seeds cost the same wall as one (the round-4 harness ran
+  them serially: ~25 min per cross-seed refresh; now one episode's wall).
+* ``--unroll N`` (default 5) unrolls the 1 kHz substep scan so XLA fuses
+  across substeps — numerics unchanged (it is a scan unroll, not an
+  approximation), ~3x fewer per-op latency stalls.
+
+Usage: python benchmarks/exp_parity.py [--mode position] [--k 4096]
+       [--steps 1000] [--seeds 0,1,2] [--save artifacts/parity_x.npz]
 """
 
 import argparse
@@ -24,49 +36,15 @@ from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
 from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="position",
-                    choices=["position", "attitude", "wrench"])
-    ap.add_argument("--k", type=int, default=4096)
-    ap.add_argument("--h", type=int, default=50)
-    ap.add_argument("--steps", type=int, default=1000)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--tail", type=int, default=300, help="held-error window")
-    ap.add_argument("--save", default="")
-    args = ap.parse_args()
-
-    if args.mode == "position":
-        params = wbs.position_mode_params(n_samples=args.k, n_horizon=args.h)
-    elif args.mode == "wrench":
-        params = wbs.wrench_mode_params(n_samples=args.k, n_horizon=args.h)
-    else:
-        base = wbs.WholeBodyMPPIParams()
-        params = dataclasses.replace(
-            base, mppi=dataclasses.replace(base.mppi, n_samples=args.k, n_horizon=args.h)
-        )
-
-    run = wbl.make_whole_body_episode(params, n_control_steps=args.steps)
-    _, init = wbs.make_whole_body_solver(params)
-    plant = wbl.init_plant(params.model.vehicle)
-    obs0 = wbs.default_obs()
-    t0 = time.time()
-    final, logs = jax.jit(run)(
-        plant, init(jax.random.key(args.seed)), obs0.ee_target, obs0.base_target
-    )
-    jax.block_until_ready(logs.ee_err)
-    wall = time.time() - t0
-    e = np.asarray(logs.ee_err)
-    t = np.asarray(logs.tilt)
-    p = np.asarray(logs.base_pos)
-    l1c = np.asarray(logs.l1_cmd)
-    l1m = np.asarray(logs.l1_meas)
-    tail = slice(-args.tail, None)
+def metrics_of(logs, i, tail_n, obs0, args):
+    e = np.asarray(logs.ee_err[i])
+    t = np.asarray(logs.tilt[i])
+    p = np.asarray(logs.base_pos[i])
+    l1c = np.asarray(logs.l1_cmd[i])
+    l1m = np.asarray(logs.l1_meas[i])
+    tail = slice(-tail_n, None)
     reached = l1c < 0.005
-    out = {
-        "mode": args.mode,
-        "k": args.k, "h": args.h, "steps": args.steps, "seed": args.seed,
-        "wall_s": round(wall, 1),
+    return {
         "min_ee_mm": round(float(e.min()) * 1000, 2),
         "final_ee_mm": round(float(e[-1]) * 1000, 2),
         "tail_mean_mm": round(float(e[tail].mean()) * 1000, 2),
@@ -92,10 +70,78 @@ def main():
             ).max()
         ), 3),
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="position",
+                    choices=["position", "attitude", "wrench"])
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--h", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--seeds", default="0",
+                    help="comma-separated solver seeds, vmapped in one run")
+    ap.add_argument("--tail", type=int, default=300, help="held-error window")
+    ap.add_argument("--unroll", type=int, default=5,
+                    help="substep scan unroll (math-identical)")
+    ap.add_argument("--save", default="")
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    if args.mode == "position":
+        params = wbs.position_mode_params(n_samples=args.k, n_horizon=args.h)
+    elif args.mode == "wrench":
+        params = wbs.wrench_mode_params(n_samples=args.k, n_horizon=args.h)
+    else:
+        base = wbs.WholeBodyMPPIParams()
+        params = dataclasses.replace(
+            base, mppi=dataclasses.replace(base.mppi, n_samples=args.k, n_horizon=args.h)
+        )
+
+    run = wbl.make_whole_body_episode(
+        params, n_control_steps=args.steps,
+        cfg=wbl.WholeBodyLoopConfig(substep_unroll=args.unroll),
+    )
+    _, init = wbs.make_whole_body_solver(params)
+    plant = wbl.init_plant(params.model.vehicle)
+    obs0 = wbs.default_obs()
+    solvers = jax.vmap(init)(
+        jnp.stack([jax.random.key(s) for s in seeds])
+    )
+    vrun = jax.jit(jax.vmap(run, in_axes=(None, 0, None, None)))
+    t0 = time.time()
+    final, logs = vrun(plant, solvers, obs0.ee_target, obs0.base_target)
+    jax.block_until_ready(logs.ee_err)
+    wall = time.time() - t0
+
+    shared = {
+        "mode": args.mode, "k": args.k, "h": args.h, "steps": args.steps,
+        "n_seeds": len(seeds), "wall_s": round(wall, 1),
+        "wall_s_per_episode": round(wall / len(seeds), 1),
+    }
+    per_seed = {}
+    for i, s in enumerate(seeds):
+        per_seed[str(s)] = metrics_of(logs, i, args.tail, obs0, args)
+    worst = {
+        "tail_max_mm_worst": max(m["tail_max_mm"] for m in per_seed.values()),
+        "l1_meas_tail_max_mm_worst": max(
+            m["l1_meas_tail_max_mm"] for m in per_seed.values()
+        ),
+        "held_fraction_min": min(
+            m["held_fraction_after_reach"] for m in per_seed.values()
+        ),
+    }
+    out = {**shared, **worst, "seeds": per_seed}
     print(json.dumps(out))
     if args.save:
         np.savez(
-            args.save, ee_err=e, base_pos=p, tilt=t, l1_cmd=l1c, l1_meas=l1m,
+            args.save,
+            seeds=np.asarray(seeds),
+            ee_err=np.asarray(logs.ee_err),
+            base_pos=np.asarray(logs.base_pos),
+            tilt=np.asarray(logs.tilt),
+            l1_cmd=np.asarray(logs.l1_cmd),
+            l1_meas=np.asarray(logs.l1_meas),
             ori_err=np.asarray(logs.ori_err),
         )
         with open(args.save.rsplit(".", 1)[0] + ".json", "w") as f:

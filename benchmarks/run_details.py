@@ -397,6 +397,135 @@ def main(which):
         }
         log("batch_episode done", details[f"batched_episode_{n_scn}x{k_scn}_H50"])
 
+    if "packed_ab" in which:
+        # Same-conditions A/B of the serving-call shapes: the tunnel's
+        # absolute per-call latency drifts 2-3x with shared-backend load
+        # (probe_tunnel), so the packed-vs-pytree claim is only meaningful
+        # measured back-to-back in one process.  Three shapes, identical
+        # solver math: (a) round-4 pytree step with donation (12 leaves
+        # in), (b) pytree step without donation, (c) packed serving step
+        # (solver/serving.py: 4 leaves in, sigma/targets trace-constant).
+        from quadrotor_manipulator_mppi_tpu.solver import serving
+
+        aparams = wb.WholeBodyMPPIParams(
+            mppi=MPPIConfig(
+                n_samples=4096, n_horizon=50, n_action=wb.N_ACTIONS,
+                dt=0.01, lam=0.1, sigma=wb.default_sigma(), savgol_window=9,
+            )
+        )
+        astep, ainit = wb.make_whole_body_solver(aparams, backend="pallas")
+        aobs = wb.default_obs()
+        ab = {}
+
+        jd = jax.jit(astep, donate_argnums=0)
+        h = {"s": ainit(jax.random.key(0))}
+
+        def pytree_donated():
+            out, h["s"] = jd(h["s"], aobs)
+            return out
+
+        jax.block_until_ready(pytree_donated())
+        ab["pytree_donated"] = bench_fn(pytree_donated)
+
+        jn = jax.jit(astep)
+        h["s"] = ainit(jax.random.key(0))
+
+        def pytree_plain():
+            out, h["s"] = jn(h["s"], aobs)
+            return out
+
+        jax.block_until_ready(pytree_plain())
+        ab["pytree_no_donate"] = bench_fn(pytree_plain)
+
+        pstep, pinit = serving.make_packed_step(
+            aparams, backend="pallas", jit=False
+        )
+        jp = jax.jit(pstep)
+        ov, tv = serving.pack_obs(aobs)
+        ov, tv = jax.device_put(ov), jax.device_put(tv)
+        h["c"] = pinit(jax.random.key(0))
+
+        def packed():
+            out, h["c"] = jp(h["c"], ov, tv)
+            return out
+
+        jax.block_until_ready(packed())
+        ab["packed"] = bench_fn(packed)
+        ab["note"] = (
+            "back-to-back in one process; compare WITHIN this entry only "
+            "(absolute numbers drift with tunnel load)"
+        )
+        details["serving_call_ab_K4096_H50"] = ab
+        log("packed_ab done", ab)
+
+    if "bridge" in which:
+        # END-TO-END bridge serving latency (round-4 verdict next #1): a
+        # loopback TCP client streams ROBOT_STATES frames at the flagship
+        # problem size and times client -> solve -> (ROBOT_CMD +
+        # DRONE_POSE) reply.  The server runs the fused bridge head
+        # (solver/serving.make_bridge_step): ONE jitted dispatch + ONE
+        # device->host readback per tick.  On this image the readback pays
+        # the tunnel's fixed D2H quantum (~24 ms, benchmarks/
+        # probe_tunnel.py) — an environment artifact of the remote-device
+        # tunnel, not of the serving path: dispatch-side latency is the
+        # whole_body_K4096_H50 entry (~0.4 ms), and a co-located TPU host
+        # reads 10 floats back in microseconds.
+        import socket as socket_mod
+        import statistics
+        import time as time_mod
+
+        from quadrotor_manipulator_mppi_tpu.bridge import protocol as proto
+        from quadrotor_manipulator_mppi_tpu.bridge.server import (
+            BridgeServer, WholeBodySession,
+        )
+
+        bparams = wb.position_mode_params(n_samples=4096, n_horizon=50)
+        server = BridgeServer(
+            session_factory=lambda: WholeBodySession(params=bparams)
+        )
+        server.start()
+        try:
+            cli = socket_mod.create_connection((server.host, server.port))
+            cli.settimeout(120.0)
+            state = [0.0] * 27
+            state[2] = 2.1
+            state[6] = 1.0
+
+            def tick():
+                cli.sendall(proto.encode(
+                    proto.Frame(proto.MsgType.ROBOT_STATES, state)
+                ))
+                dec = proto.Decoder()
+                got = set()
+                while {proto.MsgType.ROBOT_CMD,
+                       proto.MsgType.DRONE_POSE} - got:
+                    dec.feed(cli.recv(1 << 16))
+                    for fr in dec.frames():
+                        got.add(fr.type)
+
+            tick()  # compile + warm
+            for _ in range(3):
+                tick()
+            samples = []
+            for _ in range(40):
+                t0 = time_mod.perf_counter()
+                tick()
+                samples.append((time_mod.perf_counter() - t0) * 1e3)
+            details["bridge_serving_K4096_H50"] = {
+                "median_ms": round(statistics.median(samples), 2),
+                "min_ms": round(min(samples), 2),
+                "std_ms": round(statistics.pstdev(samples), 2),
+                "n": len(samples),
+                "note": "client->solve->reply over loopback TCP; on this "
+                        "image dominated by the tunnel's fixed D2H readback "
+                        "quantum (see the 'tunnel' entry), not by solve "
+                        "dispatch (~0.4 ms) or TCP",
+            }
+            cli.close()
+        finally:
+            server.stop()
+        log("bridge done", details["bridge_serving_K4096_H50"])
+
     if "mapped" in which:
         # Map-in-the-loop serving shape (round 3): one full control step of
         # run.py mapped-flight — lidar raycast, occupancy-grid ray

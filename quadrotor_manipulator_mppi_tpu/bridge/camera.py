@@ -52,12 +52,25 @@ class CameraPublisher:
 def fetch_image(
     sock: socket.socket, timeout: float = 2.0
 ) -> Tuple[Optional[np.ndarray], dict]:
-    """Poll the server's latest camera frame (IMAGE_REQ -> IMAGE)."""
+    """Poll the server's latest camera frame (IMAGE_REQ -> IMAGE).
+
+    Returns ``(None, {})`` if no IMAGE frame arrives within ``timeout``
+    seconds (dead server, or only non-IMAGE traffic) — the overall deadline
+    bounds the loop even when interleaved frames keep recv busy."""
+    import time
+
     sock.sendall(proto.encode(proto.Frame(proto.MsgType.IMAGE_REQ, [])))
-    sock.settimeout(timeout)
+    deadline = time.monotonic() + timeout
     dec = proto.Decoder()
     while True:
-        data = sock.recv(1 << 16)
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return None, {}
+        sock.settimeout(remaining)
+        try:
+            data = sock.recv(1 << 16)
+        except socket.timeout:
+            return None, {}
         if not data:
             return None, {}
         dec.feed(data)

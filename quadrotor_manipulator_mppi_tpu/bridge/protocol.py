@@ -129,6 +129,11 @@ def encode_image(image, seq: int = 0, t: float = 0.0) -> Frame:
     images stream their raw float meters (NaN bad points survive the trip);
     the ~12 KB of a 64x48 depth frame is well inside the decoder's frame
     cap.
+
+    Precision bound: ``seq`` and ``t`` ride as float32 payload values, so
+    ``seq`` is exact up to 2^24 frames (~19 days at 10 Hz) and ``t`` keeps
+    millisecond resolution up to ~4.6 h of episode time — ample for every
+    in-framework stream; re-key the session for longer recordings.
     """
     import numpy as np
 

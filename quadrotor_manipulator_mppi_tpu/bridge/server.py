@@ -184,21 +184,20 @@ class WholeBodySession:
     setpoint_lookahead: int = 10
 
     def __post_init__(self):
-        from ..models.whole_body import WholeBodyState, _base_rollout_position
-        from ..solver import whole_body as wbs
+        from ..solver import serving, whole_body as wbs
 
-        self._wbs = wbs
-        self._rollout_position = _base_rollout_position
-        self._WholeBodyState = WholeBodyState
+        self._serving = serving
         if self.params is None:
             self.params = wbs.position_mode_params(n_samples=512, n_horizon=50)
-        if self.params.model.control_mode != "position":
-            raise ValueError("WholeBodySession requires the position mode")
-        step, init = wbs.make_whole_body_solver(self.params)
-        self._step = jax.jit(step)
-        self._state = init(jax.random.key(self.seed))
-        self._spec = self.params.model.chain()
-        self._inertials = self.params.model.inertials()
+        # The fused bridge head (solver/serving.make_bridge_step): solve +
+        # tracking law + carrot prediction in ONE jitted dispatch with ONE
+        # host readback per tick (previously two fetches — through a remote
+        # device tunnel each readback pays a fixed latency quantum,
+        # benchmarks/probe_tunnel.py).
+        self._bstep, binit = serving.make_bridge_step(
+            self.params, setpoint_lookahead=self.setpoint_lookahead
+        )
+        self._carry = binit(jax.random.key(self.seed))
         self.ee_target = arm_solver.default_target()
         self.drone_target = np.asarray([0.0, 0.0, 2.1], np.float32)
         self.arm_nudge = np.zeros(7, np.float32)
@@ -212,58 +211,32 @@ class WholeBodySession:
     handle_teleop_arm = SolverSession.handle_teleop_arm
 
     def handle_states(self, payload) -> list:
-        from ..models.multirotor import Multirotor12State
-        from ..utils import rotations as rot
-
         self.latest_states = list(payload)
         base_pos, base_quat_xyzw, q, base_v, qd = proto.split_robot_states(payload)
         if self.land:
             self.drone_target[0:2] = np.asarray(base_pos[:2], np.float32)
             self.drone_target[2] = max(0.0, float(base_pos[2]) - 0.4)
 
-        q = jnp.asarray(q, jnp.float32)
-        qd_j = jnp.asarray(qd, jnp.float32)
-        base_pose = Pose.from_xyzw(
-            jnp.asarray(base_pos, jnp.float32),
-            jnp.asarray(base_quat_xyzw, jnp.float32),
-        )
-        ang = rot.matrix_to_euler(base_pose.rotation_matrix, "ZYX")
-        base12 = Multirotor12State(
-            pos=base_pose.position,
-            rpy=jnp.stack([ang[2], ang[1], ang[0]]),
-            vel=jnp.asarray(base_v[:3], jnp.float32),     # world (adapter contract)
-            omega=jnp.asarray(base_v[3:6], jnp.float32),  # body rates
-        )
-        state = self._WholeBodyState(base=base12, q=q, qdot=qd_j)
-        obs = self._wbs.WholeBodyObs(
-            state=state,
-            ee_target=self.ee_target,
-            base_target=jnp.asarray(self.drone_target),
-        )
-        out, self._state = self._step(self._state, obs)
-
-        # Arm efforts: the reference tracking law around the solver's qdes.
-        m = rb.mass_matrix(self._spec, self._inertials, q)
-        nle = rb.nonlinear_effects(
-            self._spec, self._inertials, q, qd_j,
-            base_rot=base_pose.rotation_matrix,
-        )
-        tau = m @ (400.0 * (out.qdes - q) - 40.0 * qd_j) + nle
-        tau_np = np.asarray(tau, np.float32)
-
-        # Base carrot: the plan's own predicted position a short lookahead
-        # along the updated setpoint-offset sequence (whole_body_loop's
-        # smooth-carrot semantics).
-        pred = self._rollout_position(
-            self.params.model, state, out.u_seq[None, :, :4],
-            self.params.mppi.dt, 1,
-        )
-        la = min(self.setpoint_lookahead, pred.pos.shape[1] - 1)
-        xdes = np.asarray(pred.pos[0, la], np.float32)
-
+        # Wire (reference xyzw quaternion, controller.cpp:312-315) -> the
+        # packed obs contract (solver/serving layout, wxyz).
+        quat_wxyz = np.asarray(base_quat_xyzw, np.float32)[[3, 0, 1, 2]]
+        obs_vec = np.concatenate([
+            np.asarray(base_pos, np.float32), quat_wxyz,
+            np.asarray(q, np.float32),
+            np.asarray(base_v[:3], np.float32),   # world vel (adapter contract)
+            np.asarray(base_v[3:6], np.float32),  # body rates
+            np.asarray(qd, np.float32),
+        ])
+        target_vec = np.concatenate([
+            np.asarray(self.ee_target.position, np.float32),
+            np.asarray(self.ee_target.quat, np.float32),
+            np.asarray(self.drone_target, np.float32),
+        ])
+        reply, self._carry = self._bstep(self._carry, obs_vec, target_vec)
+        reply = np.asarray(reply, np.float32)
         return [
-            proto.Frame(proto.MsgType.ROBOT_CMD, [float(t) for t in tau_np]),
-            proto.Frame(proto.MsgType.DRONE_POSE, [float(x) for x in xdes]),
+            proto.Frame(proto.MsgType.ROBOT_CMD, [float(t) for t in reply[:7]]),
+            proto.Frame(proto.MsgType.DRONE_POSE, [float(x) for x in reply[7:10]]),
         ]
 
 

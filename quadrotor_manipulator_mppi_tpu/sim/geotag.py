@@ -115,3 +115,57 @@ class GeotagRecorder:
         self.last_capture_t = t
         self.written.append(path)
         return path
+
+
+def replay_capture(
+    rec: "GeotagRecorder",
+    pos_log,
+    quat_log,
+    gimbal_log,
+    cam,
+    key,
+    sphere_centers,
+    sphere_radii,
+    gps_params=None,
+    noise_model: str = "kinect",
+    stride: int = 100,
+    dt: float = 1e-3,
+    publisher=None,
+):
+    """Replay a logged flight through the full capture stack: at ``stride``
+    ticks (10 Hz over a 1 kHz log) feed the recorder a GPS fix, and every
+    capture interval render the gimbal-steered depth frame
+    (:mod:`~.depth_camera`), apply sensor noise, geotag + store it — the
+    geotagged-images + gst-camera plugin pair's runtime behavior replayed
+    exactly over a finished trajectory.  ``publisher`` (a
+    ``bridge.camera.CameraPublisher``) additionally streams each captured
+    frame to a live QMM server."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import depth_camera as dc, gimbal as gb
+    from .sensors import GpsParams, gps_measure
+
+    gps = gps_params or GpsParams(horizontal_noise=0.05, vertical_noise=0.1)
+    pos_np, quat_np = np.asarray(pos_log), np.asarray(quat_log)
+    gang_np = np.asarray(gimbal_log)
+    for i in range(0, pos_np.shape[0], stride):
+        t = i * dt
+        key, k1, k2 = jax.random.split(key, 3)
+        rec.on_gps(np.asarray(gps_measure(gps, k1, jnp.asarray(pos_np[i]))))
+        if t - rec.last_capture_t < rec.params.interval:
+            continue
+        gim_i = gb.GimbalState(
+            angles=jnp.asarray(gang_np[i]), rates=jnp.zeros(3)
+        )
+        rot_cw = gb.camera_rotation(gim_i, jnp.asarray(quat_np[i]))
+        depth = dc.depth_render(
+            cam, jnp.asarray(pos_np[i]), rot_cw,
+            sphere_centers=jnp.asarray(sphere_centers),
+            sphere_radii=jnp.asarray(sphere_radii),
+        )
+        depth = dc.noisy_depth(cam, k2, depth, model=noise_model)
+        depth_np = np.asarray(depth)
+        rec.on_frame(t, depth_np, cam_pos=pos_np[i], cam_rot=np.asarray(rot_cw))
+        if publisher is not None:
+            publisher.publish(depth_np, t)

@@ -161,3 +161,34 @@ def polynomial_sample(breaks, coeffs, t, derivative: int = 0):
             fact *= (j - d)
         out = out * tau[..., None] + fact * c[..., j, :]
     return out
+
+
+def gerono_reference(t: Array, amp: float, omega: float, z0: float,
+                     t_ramp: float = 1.5):
+    """Figure-eight (Gerono lemniscate) reference with a smooth time-warp
+    entry: x = A sin(w tau), y = (A/2) sin(2w tau) at altitude ``z0``,
+    where tau = t^2/(t + t_ramp) starts at rest (tau(0) = tau'(0) = 0, so
+    the path is dynamically feasible from standstill) and approaches unit
+    rate.  Returns exact ``(pos, vel, acc)`` references for full
+    feed-forward tracking — the fast-curved-path regime the reference stack
+    never exercises (its controllers only see step setpoints,
+    ``controller.cpp:667-673``)."""
+    tau = t * t / (t + t_ramp)
+    dtau = (t * t + 2 * t * t_ramp) / (t + t_ramp) ** 2
+    ddtau = 2 * t_ramp * t_ramp / (t + t_ramp) ** 3
+    s, c = jnp.sin(omega * tau), jnp.cos(omega * tau)
+    s2, c2 = jnp.sin(2 * omega * tau), jnp.cos(2 * omega * tau)
+    zero = jnp.zeros_like(t)
+    pos = jnp.stack([amp * s, 0.5 * amp * s2, z0 + zero], -1)
+    vel = jnp.stack(
+        [amp * omega * c * dtau, amp * omega * c2 * dtau, zero], -1
+    )
+    acc = jnp.stack(
+        [
+            -amp * omega**2 * s * dtau**2 + amp * omega * c * ddtau,
+            -2 * amp * omega**2 * s2 * dtau**2 + amp * omega * c2 * ddtau,
+            zero,
+        ],
+        -1,
+    )
+    return pos, vel, acc

@@ -225,3 +225,32 @@ def test_attitude_stop_cost_matches_xla():
         ),
     )
     _run_both(params)
+
+
+def test_wide_tile_matches_default_tile():
+    """The ``tile`` width knob (wider = fewer grid steps — the sharded
+    small-K configs' lever) must not change the math: with explicit noise
+    the 256-lane tiling reproduces the default 128-lane solve exactly."""
+    params = _small(wb.WholeBodyMPPIParams(), k=256, h=12)
+    step_128 = make_whole_body_pallas_step(params, use_prng=False,
+                                           interpret=True)
+    step_256 = make_whole_body_pallas_step(params, use_prng=False,
+                                           interpret=True, tile=256)
+    _, init = wb.make_whole_body_solver(params, low_k_guard="off")
+    obs = wb.default_obs()
+    st_a = init(jax.random.key(5))
+    st_b = init(jax.random.key(5))
+    for _ in range(2):
+        u_a, st_a = step_128(st_a, obs)
+        u_b, st_b = step_256(st_b, obs)
+        np.testing.assert_allclose(
+            np.asarray(u_b), np.asarray(u_a), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_tile_validation():
+    params = _small(wb.WholeBodyMPPIParams(), k=256, h=12)
+    with pytest.raises(ValueError, match="multiple of"):
+        make_whole_body_pallas_step(params, tile=192)   # not 128-aligned
+    with pytest.raises(ValueError, match="multiple of"):
+        make_whole_body_pallas_step(params, tile=512)   # K=256 not divisible
