@@ -415,45 +415,68 @@ def main(which):
         )
         astep, ainit = wb.make_whole_body_solver(aparams, backend="pallas")
         aobs = wb.default_obs()
-        ab = {}
 
         jd = jax.jit(astep, donate_argnums=0)
-        h = {"s": ainit(jax.random.key(0))}
-
-        def pytree_donated():
-            out, h["s"] = jd(h["s"], aobs)
-            return out
-
-        jax.block_until_ready(pytree_donated())
-        ab["pytree_donated"] = bench_fn(pytree_donated)
-
         jn = jax.jit(astep)
-        h["s"] = ainit(jax.random.key(0))
-
-        def pytree_plain():
-            out, h["s"] = jn(h["s"], aobs)
-            return out
-
-        jax.block_until_ready(pytree_plain())
-        ab["pytree_no_donate"] = bench_fn(pytree_plain)
-
         pstep, pinit = serving.make_packed_step(
             aparams, backend="pallas", jit=False
         )
         jp = jax.jit(pstep)
         ov, tv = serving.pack_obs(aobs)
         ov, tv = jax.device_put(ov), jax.device_put(tv)
-        h["c"] = pinit(jax.random.key(0))
+        h = {"sd": ainit(jax.random.key(0)), "sn": ainit(jax.random.key(0)),
+             "c": pinit(jax.random.key(0))}
+
+        def pytree_donated():
+            out, h["sd"] = jd(h["sd"], aobs)
+            return out
+
+        def pytree_plain():
+            out, h["sn"] = jn(h["sn"], aobs)
+            return out
 
         def packed():
             out, h["c"] = jp(h["c"], ov, tv)
             return out
 
-        jax.block_until_ready(packed())
-        ab["packed"] = bench_fn(packed)
+        variants = {
+            "pytree_donated": pytree_donated,
+            "pytree_no_donate": pytree_plain,
+            "packed": packed,
+        }
+        # Tunnel latency drifts monotonically within a process (measured:
+        # sequential A/B orderings invert between runs), so the blocks are
+        # INTERLEAVED round-robin — each variant samples the same drift.
+        import statistics
+        import time as time_mod
+
+        for fn in variants.values():
+            jax.block_until_ready(fn())
+            for _ in range(3):
+                fn()
+            jax.block_until_ready(fn())
+        blocks = {name: [] for name in variants}
+        for _ in range(7):
+            for name, fn in variants.items():
+                t0 = time_mod.perf_counter()
+                for _ in range(30):
+                    out = fn()
+                jax.block_until_ready(out)
+                blocks[name].append(
+                    (time_mod.perf_counter() - t0) / 30 * 1e3
+                )
+        ab = {
+            name: {
+                "median_ms": round(statistics.median(bs), 4),
+                "min_ms": round(min(bs), 4),
+                "std_ms": round(statistics.pstdev(bs), 4),
+                "n": len(bs),
+            }
+            for name, bs in blocks.items()
+        }
         ab["note"] = (
-            "back-to-back in one process; compare WITHIN this entry only "
-            "(absolute numbers drift with tunnel load)"
+            "blocks interleaved round-robin (tunnel latency drifts "
+            "within a process); compare WITHIN this entry only"
         )
         details["serving_call_ab_K4096_H50"] = ab
         log("packed_ab done", ab)
