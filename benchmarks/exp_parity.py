@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from quadrotor_manipulator_mppi_tpu.evaluation.metrics import (
+    reach_convergence as metrics_conv,
+)
 from quadrotor_manipulator_mppi_tpu.sim import whole_body_loop as wbl
 from quadrotor_manipulator_mppi_tpu.solver import whole_body as wbs
 
@@ -57,6 +60,12 @@ def metrics_of(logs, i, tail_n, obs0, args):
         "held_fraction_after_reach": (
             round(float(reached[np.argmax(reached):].mean()), 3)
             if reached.any() else 0.0
+        ),
+        # Debounced convergence (gate held 50 consecutive ticks — the
+        # reference's own convergence pattern, kinova.py:154-157).
+        "converged_step": (lambda cv: cv[0])(metrics_conv(l1c)),
+        "held_fraction_after_converge": (lambda cv: round(cv[1], 3))(
+            metrics_conv(l1c)
         ),
         "max_tilt_rad": round(float(t.max()), 4),
         "min_alt_m": round(float(p[:, 2].min()), 3),
@@ -129,6 +138,9 @@ def main():
         ),
         "held_fraction_min": min(
             m["held_fraction_after_reach"] for m in per_seed.values()
+        ),
+        "held_after_converge_min": min(
+            m["held_fraction_after_converge"] for m in per_seed.values()
         ),
     }
     out = {**shared, **worst, "seeds": per_seed}

@@ -69,6 +69,10 @@ def main(which):
         details["arm_scan_K100_H32"] = {
             "ms_per_solve": round(r["median_ms"] / 100, 4),
             "solves_per_s": round(1e5 / r["median_ms"], 1),
+            "median_ms": round(r["median_ms"] / 100, 4),
+            "min_ms": round(r["min_ms"] / 100, 4),
+            "std_ms": round(r["std_ms"] / 100, 4),
+            "n": r["n"],
             "note": "device-resident: 100 solves per dispatch; the "
                     "reference runs this loop at 100 Hz",
         }
@@ -103,6 +107,10 @@ def main(which):
         details["drone_scan_K1024_H32"] = {
             "ms_per_solve": round(r["median_ms"] / 100, 4),
             "solves_per_s": round(1e5 / r["median_ms"], 1),
+            "median_ms": round(r["median_ms"] / 100, 4),
+            "min_ms": round(r["min_ms"] / 100, 4),
+            "std_ms": round(r["std_ms"] / 100, 4),
+            "n": r["n"],
             "note": "device-resident: 100 solves per dispatch",
         }
         log("drone scan done", details["drone_scan_K1024_H32"])
@@ -218,7 +226,7 @@ def main(which):
         # headline.
         pparams = wb.position_mode_params(n_samples=16384, n_horizon=50)
         pstep, pinit = wb.make_whole_body_solver(pparams, backend="pallas")
-        jpstep = jax.jit(pstep, donate_argnums=0)
+        jpstep = jax.jit(pstep)
         pstate = pinit(jax.random.key(0))
         pobs = wb.default_obs()
         out, pstate = jpstep(pstate, pobs)
@@ -229,7 +237,14 @@ def main(which):
             out, holder_p["state"] = jpstep(holder_p["state"], pobs)
             return out
 
-        details["whole_body_position_fused_K16384_H50"] = bench_fn(one_pos, iters=40)
+        entry = bench_fn(one_pos, iters=40)
+        if entry["std_ms"] > 0.25 * entry["median_ms"]:
+            entry["note"] = (
+                "high relative std: host-stepped latency through the shared "
+                "tunnel drifts with backend load (probe_tunnel); the "
+                "device-resident scan entries are the stable numbers"
+            )
+        details["whole_body_position_fused_K16384_H50"] = entry
 
         p4 = wb.position_mode_params(n_samples=4096, n_horizon=50)
         pstep4, pinit4 = wb.make_whole_body_solver(p4, backend="pallas")
@@ -339,7 +354,10 @@ def main(which):
             details[f"whole_body_scan_{name}_K4096_H50"] = {
                 "ms_per_solve": round(r["median_ms"] / 100, 4),
                 "solves_per_s": round(1e5 / r["median_ms"], 1),
+                "median_ms": round(r["median_ms"] / 100, 4),
                 "min_ms": round(r["min_ms"] / 100, 4),
+                "std_ms": round(r["std_ms"] / 100, 4),
+                "n": r["n"],
                 "note": "device-resident: 100 solves per dispatch",
             }
             log(f"scan {name} done",

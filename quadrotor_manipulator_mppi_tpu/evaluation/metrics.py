@@ -91,3 +91,27 @@ def waypoint_response(
 def tracking_rmse(actual: Array, reference: Array, axis=-2) -> Array:
     """Generic trajectory-tracking RMSE (the BASELINE.md parity metric)."""
     return jnp.sqrt(jnp.mean(jnp.sum((actual - reference) ** 2, axis=-1), axis=-1))
+
+
+def reach_convergence(err, gate: float = 0.005, hold_ticks: int = 50):
+    """Debounced reach convergence: the first step from which ``err < gate``
+    holds ``hold_ticks`` CONSECUTIVE steps — the reference's own convergence
+    pattern (``kinova.py:154-157`` requires its home gate held 50 ticks
+    before switching phases; a single grazing dip does not count as
+    converged).  Returns ``(converged_step, held_fraction_after)`` with
+    ``(-1, 0.0)`` when the episode never converges.
+
+    Complements the raw first-dip metric (``mppi.py:117`` applied per
+    step): report both — the raw number shows when the gate is first
+    touched, this one when it is actually HELD.
+    """
+    import numpy as np
+
+    r = np.asarray(err) < gate
+    run = 0
+    for i, hit in enumerate(r):
+        run = run + 1 if hit else 0
+        if run >= hold_ticks:
+            conv = i - hold_ticks + 1
+            return conv, float(r[conv:].mean())
+    return -1, 0.0

@@ -11,18 +11,24 @@ from .common import finish, maybe_resume, maybe_save
 def episode_quality(l1_cmd, l1_meas, tail_n, gate=0.005):
     """The single-run parity metrics (benchmarks/exp_parity.py) applied to
     one episode: first step the reference reach gate (``mppi.py:117``,
-    L1 of the commanded EE < 5 mm) is met, the fraction of subsequent steps
-    that HOLD it, and tail stats of both the commanded and the MEASURED EE
-    error."""
+    L1 of the commanded EE < 5 mm) is met, the debounced CONVERGENCE step
+    (gate held 50 consecutive ticks — the reference's own convergence
+    pattern, ``kinova.py:154-157``) with the held fraction after it, and
+    tail stats of both the commanded and the MEASURED EE error."""
+    from ..evaluation.metrics import reach_convergence
+
     l1_cmd = np.asarray(l1_cmd)
     l1_meas = np.asarray(l1_meas)
     tail = slice(-tail_n, None)
     reached = l1_cmd < gate
     first = int(np.argmax(reached)) if reached.any() else -1
     held = float(reached[first:].mean()) if first >= 0 else 0.0
+    conv, held_conv = reach_convergence(l1_cmd, gate)
     return {
         "reach_gate_first_step": first,
         "held_fraction_after_reach": round(held, 3),
+        "converged_step": conv,
+        "held_fraction_after_converge": round(held_conv, 3),
         "l1_cmd_tail_mean_mm": round(float(l1_cmd[tail].mean()) * 1000, 2),
         "l1_cmd_tail_max_mm": round(float(l1_cmd[tail].max()) * 1000, 2),
         "l1_meas_tail_mean_mm": round(float(l1_meas[tail].mean()) * 1000, 2),
@@ -317,10 +323,10 @@ def run_whole_body_batch(args):
     l1m = np.asarray(logs.l1_meas)
     tail_n = min(100, args.steps // 3)
     per = [episode_quality(l1c[i], l1m[i], tail_n) for i in range(n_scn)]
-    held = np.asarray([p["held_fraction_after_reach"] for p in per])
-    first = np.asarray([p["reach_gate_first_step"] for p in per])
+    held = np.asarray([p["held_fraction_after_converge"] for p in per])
+    conv = np.asarray([p["converged_step"] for p in per])
     meas_tail_max = np.asarray([p["l1_meas_tail_max_mm"] for p in per])
-    gate_held = (first >= 0) & (held >= args.hold)
+    gate_held = (conv >= 0) & (held >= args.hold)
     finish(
         "whole-body-batch",
         {
@@ -331,8 +337,12 @@ def run_whole_body_batch(args):
             "wall_s": round(wall, 1),
             "episodes_per_s": round(n_scn / wall, 2),
             "control_steps_per_s": round(n_scn * args.steps / wall, 1),
-            # The held-fraction gate (the honest serving-quality number).
+            # The held-fraction gate (the honest serving-quality number):
+            # converged (gate held 50 consecutive ticks, kinova.py:154-157
+            # debounce) AND held >= --hold thereafter.
             "gate_held_fraction": round(float(gate_held.mean()), 3),
+            "median_converge_step": int(np.median(conv[conv >= 0]))
+            if (conv >= 0).any() else -1,
             # Round-4's lenient any-dip number, kept for comparability.
             "reach_gate_fraction": round(float((l1c < 0.005).any(1).mean()), 3),
             "held_min": round(float(held.min()), 3),
