@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -105,8 +106,6 @@ def reach_convergence(err, gate: float = 0.005, hold_ticks: int = 50):
     step): report both — the raw number shows when the gate is first
     touched, this one when it is actually HELD.
     """
-    import numpy as np
-
     r = np.asarray(err) < gate
     run = 0
     for i, hit in enumerate(r):
@@ -115,3 +114,29 @@ def reach_convergence(err, gate: float = 0.005, hold_ticks: int = 50):
             conv = i - hold_ticks + 1
             return conv, float(r[conv:].mean())
     return -1, 0.0
+
+
+def episode_quality(l1_cmd, l1_meas, tail_n, gate=0.005):
+    """Single-episode reach-quality metrics (benchmarks/exp_parity.py) applied to
+    one episode: first step the reference reach gate (``mppi.py:117``,
+    L1 of the commanded EE < 5 mm) is met, the debounced CONVERGENCE step
+    (gate held 50 consecutive ticks — the reference's own convergence
+    pattern, ``kinova.py:154-157``) with the held fraction after it, and
+    tail stats of both the commanded and the MEASURED EE error."""
+    l1_cmd = np.asarray(l1_cmd)
+    l1_meas = np.asarray(l1_meas)
+    tail = slice(-tail_n, None)
+    reached = l1_cmd < gate
+    first = int(np.argmax(reached)) if reached.any() else -1
+    held = float(reached[first:].mean()) if first >= 0 else 0.0
+    conv, held_conv = reach_convergence(l1_cmd, gate)
+    return {
+        "reach_gate_first_step": first,
+        "held_fraction_after_reach": round(held, 3),
+        "converged_step": conv,
+        "held_fraction_after_converge": round(held_conv, 3),
+        "l1_cmd_tail_mean_mm": round(float(l1_cmd[tail].mean()) * 1000, 2),
+        "l1_cmd_tail_max_mm": round(float(l1_cmd[tail].max()) * 1000, 2),
+        "l1_meas_tail_mean_mm": round(float(l1_meas[tail].mean()) * 1000, 2),
+        "l1_meas_tail_max_mm": round(float(l1_meas[tail].max()) * 1000, 2),
+    }

@@ -321,18 +321,11 @@ def run_waypoint_file(args):
         ]
 
     if args.smooth:
-        from ..utils.trajectory import cubic_spline_coeffs, polynomial_sample
+        from ..utils.trajectory import polynomial_sample, waypoint_splines
 
-        knots = np.concatenate([[0.0], np.cumsum(waits)])
-        kpts = np.concatenate([positions[:1], positions], axis=0)
-        breaks, coeffs = cubic_spline_coeffs(knots, kpts)
+        breaks, coeffs, ycoeffs = waypoint_splines(waits, positions, yaws)
         breaks_j = jnp.asarray(breaks, jnp.float32)
         coeffs_j = jnp.asarray(coeffs, jnp.float32)
-        # Yaw rides its own C2 spline (unwrapped): smooth yaw with rate
-        # feed-forward, so the discrete mode's step-envelope problem never
-        # arises on the continuous reference.
-        yk = np.unwrap(np.concatenate([[0.0], yaws]))
-        _, ycoeffs = cubic_spline_coeffs(knots, yk[:, None])
         ycoeffs_j = jnp.asarray(ycoeffs, jnp.float32)
 
         def tick_smooth(plant, t):

@@ -5,35 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..evaluation.metrics import episode_quality
 from .common import finish, maybe_resume, maybe_save
-
-
-def episode_quality(l1_cmd, l1_meas, tail_n, gate=0.005):
-    """The single-run parity metrics (benchmarks/exp_parity.py) applied to
-    one episode: first step the reference reach gate (``mppi.py:117``,
-    L1 of the commanded EE < 5 mm) is met, the debounced CONVERGENCE step
-    (gate held 50 consecutive ticks — the reference's own convergence
-    pattern, ``kinova.py:154-157``) with the held fraction after it, and
-    tail stats of both the commanded and the MEASURED EE error."""
-    from ..evaluation.metrics import reach_convergence
-
-    l1_cmd = np.asarray(l1_cmd)
-    l1_meas = np.asarray(l1_meas)
-    tail = slice(-tail_n, None)
-    reached = l1_cmd < gate
-    first = int(np.argmax(reached)) if reached.any() else -1
-    held = float(reached[first:].mean()) if first >= 0 else 0.0
-    conv, held_conv = reach_convergence(l1_cmd, gate)
-    return {
-        "reach_gate_first_step": first,
-        "held_fraction_after_reach": round(held, 3),
-        "converged_step": conv,
-        "held_fraction_after_converge": round(held_conv, 3),
-        "l1_cmd_tail_mean_mm": round(float(l1_cmd[tail].mean()) * 1000, 2),
-        "l1_cmd_tail_max_mm": round(float(l1_cmd[tail].max()) * 1000, 2),
-        "l1_meas_tail_mean_mm": round(float(l1_meas[tail].mean()) * 1000, 2),
-        "l1_meas_tail_max_mm": round(float(l1_meas[tail].max()) * 1000, 2),
-    }
 
 
 def run_whole_body_full(args):

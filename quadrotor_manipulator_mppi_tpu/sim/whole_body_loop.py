@@ -48,15 +48,14 @@ class WholeBodyLoopConfig:
     substeps: int = 10
     track_kp: float = 400.0   # kinova.py:184
     track_kd: float = 40.0
-    # Track the solver's velocity setpoint too: tau = M (kp (qdes - q) +
-    # kd (VDES - qdot)) + nle instead of the reference law's pure damping
-    # (kinova.py:184 computes vdes but damps qdot to zero, which lags a
-    # MOVING qdes by ~kd/kp x qdes_dot — in wrench mode the arm plan
-    # counter-moves the dithering base every solve, and that lag is the
-    # measured-vs-commanded EE gap).  Off by default (reference behavior);
-    # the wrench precision configuration turns it on (BASELINE.md round-5
-    # control parity).
-    track_vdes: bool = False
+    # NOTE the reference law damps qdot to ZERO rather than tracking the
+    # solver's vdes (kinova.py:184 computes vdes and discards it).  Round 5
+    # tried the "obvious" computed-torque upgrade tau = M(kp e + kd(vdes -
+    # qdot)) + nle to kill tracking lag — measured: it DIVERGES (0.5 m EE
+    # errors; vdes is one integration of the softmin-averaged noise, so the
+    # feed-forward injects the exploration dither straight into the arm).
+    # The reference's pure damping is the right call; lag is closed by the
+    # tube servo + base station-keeping weights instead.
     # Position mode: command the plan's own predicted position this many
     # control steps ahead instead of the raw sampled offset.  Raw offsets
     # jump every solve and destabilize the adaptive backstepping loop; the
@@ -417,10 +416,8 @@ def make_whole_body_episode(
             nle = rb.nonlinear_effects(
                 spec, inertials, plant.q, plant.qdot, base_rot=base_rot
             )
-        qdot_ref = out.vdes if cfg.track_vdes else jnp.zeros_like(plant.qdot)
         tau_arm = m @ (
-            cfg.track_kp * (qdes - plant.q)
-            + cfg.track_kd * (qdot_ref - plant.qdot)
+            cfg.track_kp * (qdes - plant.q) - cfg.track_kd * plant.qdot
         ) + nle
         effort = jnp.asarray(spec.effort, tau_arm.dtype)
         tau_arm = jnp.clip(tau_arm, -effort, effort)

@@ -192,3 +192,22 @@ def gerono_reference(t: Array, amp: float, omega: float, z0: float,
         -1,
     )
     return pos, vel, acc
+
+
+def waypoint_splines(waits, positions, yaws):
+    """C2 cubic splines through a RotorS waypoint schedule: knot times are
+    the cumulative wait windows, position rides a natural cubic through the
+    waypoints (first knot duplicated so flight starts at the first
+    waypoint), and yaw rides its own spline over the UNWRAPPED yaw sequence
+    (smooth yaw with rate feed-forward — the discrete mode's simultaneous
+    large-step envelope problem never arises on a continuous reference).
+    Returns ``(breaks, pos_coeffs, yaw_coeffs)`` for
+    :func:`polynomial_sample`."""
+    import numpy as np
+
+    knots = np.concatenate([[0.0], np.cumsum(waits)])
+    kpts = np.concatenate([positions[:1], positions], axis=0)
+    breaks, coeffs = cubic_spline_coeffs(knots, kpts)
+    yk = np.unwrap(np.concatenate([[0.0], yaws]))
+    _, ycoeffs = cubic_spline_coeffs(knots, yk[:, None])
+    return breaks, coeffs, ycoeffs
