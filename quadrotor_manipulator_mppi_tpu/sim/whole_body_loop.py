@@ -74,7 +74,11 @@ class WholeBodyLoopConfig:
     # inside, where the local linearization is exact.  This is what closes
     # the reference's reach criterion (sum |dp| < 0.005 m, mppi.py:117) on
     # the full plant.
-    tube_gain: float = 0.8
+    # Servo strength; None = mode-dependent default (0.8, except 1.5 in
+    # wrench mode — measured round 5: the stronger correction halves the
+    # tail's >5 mm fraction there, while position/attitude keep the
+    # validated 0.8).
+    tube_gain: Optional[float] = None
     # Gate distance [m]; 0 disables; None = mode-dependent default.
     # Position mode uses 0.3 (not just a terminal-hold radius): the DLS
     # servo follows the full 6-DoF pose-error gradient, which also walks
@@ -357,6 +361,10 @@ def make_whole_body_episode(
         cfg.tube_radius if cfg.tube_radius is not None
         else (0.3 if mode == "position" else 0.08)
     )
+    tube_gain = (
+        cfg.tube_gain if cfg.tube_gain is not None
+        else (1.5 if mode == "wrench" else 0.8)
+    )
 
     def control_step(carry, _):
         if graspable is not None:
@@ -369,7 +377,7 @@ def make_whole_body_episode(
         out, solver = step(solver, obs)
 
         qdes = out.qdes
-        if tube_radius > 0.0 and cfg.tube_gain > 0.0:
+        if tube_radius > 0.0 and tube_gain > 0.0:
             from ..models import chain as chain_mod
 
             def pose_err(qq):
@@ -394,7 +402,7 @@ def make_whole_body_episode(
             a = de_dq @ de_dq.T + cfg.tube_mu * jnp.eye(6, dtype=err6.dtype)
             dq = -de_dq.T @ jnp.linalg.solve(a, err6)
             dq = jnp.clip(dq, -cfg.tube_clip, cfg.tube_clip)
-            qdes = qdes + cfg.tube_gain * gate * dq
+            qdes = qdes + tube_gain * gate * dq
         # Never command beyond the joint stops.
         qdes = jnp.clip(
             qdes, jnp.asarray(spec.lower, qdes.dtype),

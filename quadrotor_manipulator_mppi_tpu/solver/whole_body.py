@@ -113,7 +113,10 @@ def default_action_bounds():
     return lo, hi
 
 
-def ee_error_sigma_schedule(r0: float = 0.25, floor: float = 0.02):
+def ee_error_sigma_schedule(
+    r0: float = 0.25, floor: float = 0.02,
+    base_floor: Optional[float] = None,
+):
     """Exploration schedule for the whole-body task: scale sigma by the
     CURRENT end-effector distance-to-go, ``clip(|p_ee - p*| / r0, floor, 1)``.
 
@@ -123,6 +126,13 @@ def ee_error_sigma_schedule(r0: float = 0.25, floor: float = 0.02):
     distance-to-go keeps exploration hot during the transient and collapses
     the noise floor near the target — the fix for the reference's 5 mm
     reach gate (mppi.py:117) on the full plant.  One 7-joint FK per solve.
+
+    ``base_floor`` (round 5) sets a SEPARATE floor for the 4 base channels:
+    in wrench mode the near-convergence base-wrench dither excites base
+    motion faster than the arm's ~20 rad/s tracking loop can counter (the
+    measured-vs-commanded EE gap), so the base floor collapses further
+    (0.005) while the arm keeps exploration headroom — measured: worst-seed
+    measured-EE tail mean 6.4 -> 4.3 mm at K=2048.
     """
     from ..models.whole_body import _quat_from_rpy
 
@@ -136,10 +146,20 @@ def ee_error_sigma_schedule(r0: float = 0.25, floor: float = 0.02):
             spec, obs.state.q, base_pos=obs.state.base.pos, base_quat=bq
         )
         d = jnp.linalg.norm(ee_pos - obs.ee_target.position)
-        return jnp.clip(d / r0, floor, 1.0)
+        s_arm = jnp.clip(d / r0, floor, 1.0)
+        if base_floor is None:
+            return s_arm
+        s_base = jnp.clip(d / r0, base_floor, 1.0)
+        return jnp.concatenate([
+            jnp.broadcast_to(s_base, (N_BASE_ACTIONS,)),
+            jnp.broadcast_to(s_arm, (kinova.N_JOINTS,)),
+        ])
 
     # Declarative identity so config.py can JSON-round-trip the schedule.
-    scale.__qmm_schedule__ = {"kind": "ee_error", "r0": r0, "floor": floor}
+    scale.__qmm_schedule__ = {
+        "kind": "ee_error", "r0": r0, "floor": floor,
+        **({} if base_floor is None else {"base_floor": base_floor}),
+    }
     return scale
 
 
@@ -205,11 +225,18 @@ def wrench_mode_params(
       out the ~2 s lateral position mode, so samples were never charged
       for ending the horizon adrift — the cause of the old ~0.5 m base
       weave.  Charging the predicted coast point |p_H + 1.2 s * v_H - p*|^2
-      closes it: measured (K=1024, 6 s episodes, exact-RNEA plant) EE L1
-      tail 6-7 mm, base excursion <= 0.23 m transient / <= 0.10 m settled,
-      tilt < 0.02 rad — direct wrench actuation is now a precision mode
-      alongside attitude/position (gated in CI at K=1024 and at flagship K
-      in tests_tpu).
+      closes it — direct wrench actuation is a precision mode alongside
+      attitude/position (gated in CI at K=1024 and at flagship K in
+      tests_tpu);
+    * (round 5) MEASURED-EE precision pass: stronger station-keeping
+      (base 800 / vel 600, stop 8000) and a separate near-convergence
+      sigma floor for the base channels (0.005 vs 0.02 arm) — the
+      residual measured-vs-commanded EE gap is the arm's ~20 rad/s
+      tracking loop chasing base-wrench dither, so the fix is calming the
+      dither, not stiffening the arm (kp 900/1600 and vdes feed-forward
+      both measured WORSE — they pump the base through the reaction
+      coupling).  Measured at K=2048 x 4 seeds: measured-EE tail mean
+      6.4 -> 4.3 mm, >5 mm fraction 0.82 -> 0.26.
     """
     sigma = np.asarray([8.0, 1.2, 1.2, 0.5] + [1.0] * kinova.N_JOINTS)
     lo = np.asarray([0.0, -6.0, -6.0, -3.0] + [-20.0] * kinova.N_JOINTS)
@@ -227,16 +254,16 @@ def wrench_mode_params(
             u_max=hi,
             warm_start_decay=0.9,
             nominal_action=default_nominal_action(),
-            sigma_scale_fn=ee_error_sigma_schedule(),
+            sigma_scale_fn=ee_error_sigma_schedule(base_floor=0.005),
         ),
         model=WholeBodyParams(
             control_mode="wrench", rate_damping=12.0,
             couple_arm_gravity=False,
         ),
         cost=WholeBodyCostParams(
-            base_pos_weight=400.0, vel_weight=300.0,
+            base_pos_weight=800.0, vel_weight=600.0,
             attitude_weight=400.0, omega_weight=10.0,
-            stop_weight=4000.0, stop_horizon=1.2,
+            stop_weight=8000.0, stop_horizon=1.2,
         ),
     )
 
