@@ -87,13 +87,18 @@ class WholeBodyCostParams:
     # Terminal stopping-point cost on the BASE: penalize where the base is
     # *heading* at the end of the horizon, |p_H + T_stop * v_H - p*|^2.
     # This encodes the value of the slow (~2 s) lateral position mode that
-    # a 0.5 s horizon cannot roll out — the wrench mode's precision fix: a
-    # sample that ends the horizon drifting away pays now, so the softmin
-    # favors plans that end heading to a stop over the target.  Zero
-    # disables (attitude/position modes get this damping from their
-    # modeled inner loops).
-    stop_weight: float = 0.0
-    stop_horizon: float = 1.0           # T_stop [s]: lookahead of the coast
+    # a 0.5 s horizon cannot roll out — a sample that ends the horizon
+    # drifting away pays now, so the softmin favors plans that end heading
+    # to a stop over the target.  Round 4 added it as the wrench-mode
+    # precision fix (weight 8000 there); round 5 measured the DEFAULT
+    # (attitude) mode needs it too: without it attitude trades the base
+    # 0.4-0.6 m away for EE precision and one of three seeds at K=4096
+    # walks into a divergent drift regime — at weight 1200 all seeds hold
+    # the EE at <= 2.3 mm MEASURED with the base settled inside 0.07 m
+    # (artifacts parity_attitude_k4096_r05).  Position mode pins it to 0
+    # (its modeled inner loop already supplies the damping).
+    stop_weight: float = 1200.0
+    stop_horizon: float = 1.2           # T_stop [s]: lookahead of the coast
 
 
 def default_nominal_action() -> np.ndarray:
@@ -201,6 +206,7 @@ def position_mode_params(
         cost=WholeBodyCostParams(
             base_pos_weight=50.0, attitude_weight=100.0,
             omega_weight=1.0, vel_weight=10.0,
+            stop_weight=0.0,
         ),
     )
 

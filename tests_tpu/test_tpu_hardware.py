@@ -245,13 +245,13 @@ def test_mapped_flight_on_hardware():
 
 def test_wrench_mode_precision_full_k():
     """Wrench precision gate at flagship K on the real chip (fused kernel
-    path, incl. the in-kernel terminal stopping-point cost): over a 6 s
-    episode the direct-actuation loop holds the EE at the centimeter
-    scale (tail mean ~1 cm) with the base settled inside 0.2 m.  Measured
-    (K=4096, seeds 0-2, CPU/XLA loop): tail mean 4.5-8.4 mm, tail max
-    7.1-10.4 mm, settled excursion 0.098-0.127 m, transient peak
-    <= 0.30 m; bounds leave margin for the kernel's different noise
-    stream while staying unambiguous against the old ~0.5 m weave."""
+    path, incl. the in-kernel terminal stopping-point cost).  Round-5
+    levels (per-channel sigma floor + base 800/vel 600/stop 8000 + tube
+    gain 1.5 — see wrench_mode_params): measured-EE tail mean 3.3-3.9 mm,
+    tail max 4.1-5.9 mm, settled excursion 0.057-0.085 m, transient peak
+    <= 0.24 m across seeds 0-2 at K=4096 (artifacts parity_wrench_
+    k4096_r05).  Bounds leave margin for the kernel's different noise
+    stream while locking in the round-5 precision level."""
     import jax
     import jax.numpy as jnp
 
@@ -270,8 +270,8 @@ def test_wrench_mode_precision_full_k():
         np.asarray(logs.base_pos) - np.asarray(obs0.base_target), axis=-1
     )
     assert np.all(np.isfinite(l1))
-    assert l1[-150:].mean() < 0.012, l1[-150:].mean()
-    assert l1[-150:].max() < 0.018, l1[-150:].max()
-    assert exc[-150:].max() < 0.20, exc[-150:].max()
-    assert exc.max() < 0.35, exc.max()
+    assert l1[-150:].mean() < 0.007, l1[-150:].mean()
+    assert l1[-150:].max() < 0.010, l1[-150:].max()
+    assert exc[-150:].max() < 0.15, exc[-150:].max()
+    assert exc.max() < 0.30, exc.max()
     assert tilt.max() < 0.05, tilt.max()
