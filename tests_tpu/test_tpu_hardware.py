@@ -204,7 +204,7 @@ def test_full_k_attitude_mode_submm_hold():
 def test_fixed_wing_flyby_on_hardware():
     """The Techpod MPPI waypoint flyby (run.py fixed-wing) at full preset
     K=1024 reaches the waypoint on the real chip."""
-    import quadrotor_manipulator_mppi_tpu.run as run_mod
+    import quadrotor_manipulator_mppi_tpu.scenarios.solvers as run_mod
 
     class A:
         steps, seed, k, save_log, platform = 400, 0, 0, None, "auto"
@@ -225,7 +225,7 @@ def test_fixed_wing_flyby_on_hardware():
 def test_mapped_flight_on_hardware():
     """Online occupancy mapping on the control path at full K=1024:
     collision-free waypoint reach with map-derived obstacles."""
-    import quadrotor_manipulator_mppi_tpu.run as run_mod
+    import quadrotor_manipulator_mppi_tpu.scenarios.solvers as run_mod
 
     class A:
         steps, seed, k, save_log, platform = 3000, 0, 0, None, "auto"
