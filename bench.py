@@ -235,13 +235,14 @@ def episode_amortized(details: dict) -> dict:
     backend = "xla" if os.environ.get("QMM_BENCH_XLA") else "pallas"
     run = wbl.make_whole_body_episode(
         params, n_control_steps=n_steps, backend=backend,
-        # Serving shape: freeze ALL q-dependent arm-dynamics coefficients
-        # once per control period (one batched RNEA; parity-tested vs the
-        # per-substep RNEA path in test_whole_body_loop) so each 1 kHz
-        # substep is a handful of einsums, and unroll the substep scan so
-        # XLA fuses across substeps.  Round 3 -> 4: 2.89 -> 0.89 ms/step.
+        # Serving shape: frozen arm-dynamics coefficients (one batched RNEA
+        # per control period, round 4: 2.89 -> 0.89 ms/step) + the round-5
+        # fused PLANT-TICK kernel (ops/pallas/plant_kernel: the whole
+        # control period's 10 x 1 kHz substeps — frozen arm dynamics,
+        # adaptive backstepping, allocation, rotor plant — run as ONE
+        # Pallas scalar kernel; parity-tested): 0.89 -> 0.43 ms/step.
         cfg=wbl.WholeBodyLoopConfig(
-            arm_coeffs_per_control=True, substep_unroll=10
+            arm_coeffs_per_control=True, plant_kernel=True
         ),
     )
     _, init = wb.make_whole_body_solver(params, backend=backend)

@@ -131,6 +131,14 @@ class WholeBodyLoopConfig:
     # XLA fuse across substeps and hide per-op latency.  Trades compile
     # time for steady-state speed; numerics unchanged.
     substep_unroll: int = 1
+    # Run the whole control period's physics as ONE Pallas scalar kernel
+    # (``ops/pallas/plant_kernel``): the ~600 tiny sequential XLA ops of
+    # the 10 substeps collapse into a single fori_loop on the TPU scalar
+    # core.  Position mode + arm_coeffs_per_control + free flight only
+    # (the kernel is a behavioral twin of physics_tick for exactly that
+    # configuration; parity-tested).  Interpret-mode fallback runs on CPU
+    # automatically for tests.
+    plant_kernel: bool = False
 
 
 class WholeBodyPlant(NamedTuple):
@@ -241,6 +249,23 @@ def make_whole_body_episode(
     )
 
     mode = params.model.control_mode
+    use_plant_kernel = bool(cfg.plant_kernel)
+    if use_plant_kernel:
+        if not (mode == "position" and cfg.arm_coeffs_per_control
+                and graspable is None and contact is None):
+            raise ValueError(
+                "plant_kernel covers the serving configuration only: "
+                "position mode + arm_coeffs_per_control, free flight"
+            )
+        import jax as _jax
+
+        from ..ops.pallas import plant_kernel as pk
+
+        plant_tick_fused = pk.make_plant_tick_kernel(
+            vehicle, fc.FlightGains(), spec,
+            substeps=cfg.substeps, dt=cfg.physics_dt, extra_mass=extra,
+            interpret=(_jax.default_backend() == "cpu"),
+        )
     inertia = jnp.asarray(vehicle.inertia, jnp.float32)
     kp_att = jnp.asarray(
         [params.model.att_kp_rp, params.model.att_kp_rp, params.model.att_kp_yaw]
@@ -506,10 +531,18 @@ def make_whole_body_episode(
             dyn = jnp.linalg.cholesky(m)
         else:  # unused dummy; the tick traces the per-substep M path
             dyn = jnp.zeros((spec.n_joints, spec.n_joints), plant.q.dtype)
-        (plant, _, _, _, _), _ = jax.lax.scan(
-            physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b, dyn),
-            None, length=cfg.substeps, unroll=cfg.substep_unroll,
-        )
+        if use_plant_kernel:
+            from ..ops.pallas import plant_kernel as pk
+
+            svec = plant_tick_fused(
+                pk.pack_plant(plant), pk.pack_dyn(dyn), base_cmd, tau_arm
+            )
+            plant = pk.unpack_plant(svec, plant)
+        else:
+            (plant, _, _, _, _), _ = jax.lax.scan(
+                physics_tick, (plant, base_cmd, tau_arm, ext_wrench_b, dyn),
+                None, length=cfg.substeps, unroll=cfg.substep_unroll,
+            )
 
         # Logs: EE world position error, base state.
         from ..models import chain as chain_mod
