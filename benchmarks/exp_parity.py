@@ -93,6 +93,11 @@ def main():
     ap.add_argument("--tail", type=int, default=300, help="held-error window")
     ap.add_argument("--unroll", type=int, default=5,
                     help="substep scan unroll (math-identical)")
+    ap.add_argument("--plant-kernel", action="store_true", dest="plant_kernel",
+                    help="run the fused Pallas plant-tick kernel instead of "
+                         "the exact per-substep-RNEA plant (position mode; "
+                         "implies frozen arm coefficients — the serving "
+                         "plant, ops/pallas/plant_kernel)")
     ap.add_argument("--save", default="")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -107,20 +112,37 @@ def main():
             base, mppi=dataclasses.replace(base.mppi, n_samples=args.k, n_horizon=args.h)
         )
 
+    cfg = (
+        wbl.WholeBodyLoopConfig(arm_coeffs_per_control=True, plant_kernel=True)
+        if args.plant_kernel
+        else wbl.WholeBodyLoopConfig(substep_unroll=args.unroll)
+    )
     run = wbl.make_whole_body_episode(
-        params, n_control_steps=args.steps,
-        cfg=wbl.WholeBodyLoopConfig(substep_unroll=args.unroll),
+        params, n_control_steps=args.steps, cfg=cfg,
     )
     _, init = wbs.make_whole_body_solver(params)
     plant = wbl.init_plant(params.model.vehicle)
     obs0 = wbs.default_obs()
-    solvers = jax.vmap(init)(
-        jnp.stack([jax.random.key(s) for s in seeds])
-    )
-    vrun = jax.jit(jax.vmap(run, in_axes=(None, 0, None, None)))
     t0 = time.time()
-    final, logs = vrun(plant, solvers, obs0.ee_target, obs0.base_target)
-    jax.block_until_ready(logs.ee_err)
+    if args.plant_kernel:
+        # vmap over the SMEM plant kernel is unsupported; seeds run
+        # serially through one jitted episode (still fast — the kernel
+        # episode is ~0.43 ms/step).
+        jrun = jax.jit(run)
+        per = [
+            jrun(plant, init(jax.random.key(s)), obs0.ee_target,
+                 obs0.base_target)[1]
+            for s in seeds
+        ]
+        jax.block_until_ready(per[-1].ee_err)
+        logs = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+    else:
+        solvers = jax.vmap(init)(
+            jnp.stack([jax.random.key(s) for s in seeds])
+        )
+        vrun = jax.jit(jax.vmap(run, in_axes=(None, 0, None, None)))
+        final, logs = vrun(plant, solvers, obs0.ee_target, obs0.base_target)
+        jax.block_until_ready(logs.ee_err)
     wall = time.time() - t0
 
     shared = {
