@@ -411,7 +411,8 @@ def main(which):
             "std_ms": r["std_ms"], "n": r["n"],
             "note": "full closed-loop episode (solver + 1 kHz plant) "
                     "vmapped over scenarios; latency-bound plant ops "
-                    "amortize across the batch",
+                    "amortize across the batch (XLA plant: vmap over "
+                    "the SMEM plant-tick kernel is unsupported)",
         }
         log("batch_episode done", details[f"batched_episode_{n_scn}x{k_scn}_H50"])
 

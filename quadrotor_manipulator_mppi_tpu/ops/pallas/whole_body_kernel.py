@@ -826,14 +826,6 @@ def make_whole_body_pallas_step(
     w_spec = pl.BlockSpec((n_tiles, tile), lambda i: (0, 0), memory_space=vm)
     du_spec = pl.BlockSpec((n_tiles, A_TOTAL * h), lambda i: (0, 0), memory_space=vm)
     m2_spec = pl.BlockSpec((n_tiles, A_TOTAL), lambda i: (0, 0), memory_space=vm)
-    at_spec = pl.BlockSpec((A_TOTAL, h), lambda i: (0, 0), memory_space=vm)
-    hh_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=vm)
-    if cfg.savgol_window:
-        smat_t_np = savgol.savgol_matrix(
-            h, cfg.savgol_window, cfg.savgol_polyorder
-        ).T.astype(np.float32)
-    else:
-        smat_t_np = np.eye(h, dtype=np.float32)
 
     u_lo = None if cfg.u_min is None else jnp.asarray(cfg.u_min, jnp.float32)
     u_hi = None if cfg.u_max is None else jnp.asarray(cfg.u_max, jnp.float32)
